@@ -1,0 +1,264 @@
+"""Checkpoint I/O: import released torch checkpoints, save/restore with orbax.
+
+The released ``nguyenvulebinh/AVSRCocktail`` checkpoint is an HF
+safetensors/pytorch state dict whose module tree is defined by the reference
+(avhubert_avsr_model.py:45 -> e2e_asr_avhubert.py:24 -> backbones/avhubert.py:200,
+transformer/decoder.py:39, ctc.py:12). This module maps every tensor into the
+avsr_tpu flax parameter tree with the appropriate layout transposes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+from avsr_tpu.core.config import AVHubertAVSRConfig
+
+# Leaf-kind transforms: torch layout -> flax layout.
+
+
+def _dense(w):  # (O, I) -> (I, O)
+    return np.ascontiguousarray(np.transpose(w))
+
+
+def _conv2d(w):  # (O, I, kh, kw) -> (kh, kw, I, O)
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def _conv3d(w):  # (O, I, kt, kh, kw) -> (kt, kh, kw, I, O)
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 4, 1, 0)))
+
+
+def _copy(w):
+    return np.asarray(w)
+
+
+def _resnet_block_entries(tprefix: str, fprefix: Tuple[str, ...], has_ds: bool):
+    """Mapping entries for one BasicBlock (resnet.py:30-69)."""
+    out = [
+        (f"{tprefix}.conv1.weight", fprefix + ("conv1", "kernel"), _conv2d, "p"),
+        (f"{tprefix}.bn1.weight", fprefix + ("bn1", "scale"), _copy, "p"),
+        (f"{tprefix}.bn1.bias", fprefix + ("bn1", "bias"), _copy, "p"),
+        (f"{tprefix}.bn1.running_mean", fprefix + ("bn1", "mean"), _copy, "s"),
+        (f"{tprefix}.bn1.running_var", fprefix + ("bn1", "var"), _copy, "s"),
+        (f"{tprefix}.relu1.weight", fprefix + ("relu1", "alpha"), _copy, "p"),
+        (f"{tprefix}.conv2.weight", fprefix + ("conv2", "kernel"), _conv2d, "p"),
+        (f"{tprefix}.bn2.weight", fprefix + ("bn2", "scale"), _copy, "p"),
+        (f"{tprefix}.bn2.bias", fprefix + ("bn2", "bias"), _copy, "p"),
+        (f"{tprefix}.bn2.running_mean", fprefix + ("bn2", "mean"), _copy, "s"),
+        (f"{tprefix}.bn2.running_var", fprefix + ("bn2", "var"), _copy, "s"),
+        (f"{tprefix}.relu2.weight", fprefix + ("relu2", "alpha"), _copy, "p"),
+    ]
+    if has_ds:
+        out += [
+            (f"{tprefix}.downsample.0.weight", fprefix + ("downsample_conv", "kernel"), _conv2d, "p"),
+            (f"{tprefix}.downsample.1.weight", fprefix + ("downsample_bn", "scale"), _copy, "p"),
+            (f"{tprefix}.downsample.1.bias", fprefix + ("downsample_bn", "bias"), _copy, "p"),
+            (f"{tprefix}.downsample.1.running_mean", fprefix + ("downsample_bn", "mean"), _copy, "s"),
+            (f"{tprefix}.downsample.1.running_var", fprefix + ("downsample_bn", "var"), _copy, "s"),
+        ]
+    return out
+
+
+def _mha_entries(tprefix: str, fprefix: Tuple[str, ...], names):
+    out = []
+    for tname, fname in names:
+        out += [
+            (f"{tprefix}.{tname}.weight", fprefix + (fname, "kernel"), _dense, "p"),
+            (f"{tprefix}.{tname}.bias", fprefix + (fname, "bias"), _copy, "p"),
+        ]
+    return out
+
+
+def _ln_entries(tprefix: str, fprefix: Tuple[str, ...]):
+    return [
+        (f"{tprefix}.weight", fprefix + ("scale",), _copy, "p"),
+        (f"{tprefix}.bias", fprefix + ("bias",), _copy, "p"),
+    ]
+
+
+def _linear_entries(tprefix: str, fprefix: Tuple[str, ...]):
+    return [
+        (f"{tprefix}.weight", fprefix + ("kernel",), _dense, "p"),
+        (f"{tprefix}.bias", fprefix + ("bias",), _copy, "p"),
+    ]
+
+
+def avsr_mapping(cfg: AVHubertAVSRConfig, prefix: str = "avsr."):
+    """Full (torch_key, flax_path, transform, collection) table.
+
+    collection: "p" = params, "s" = batch_stats.
+    """
+    P = prefix
+    m = []
+    enc = ("encoder",)
+    # modality feature extractors
+    m += _linear_entries(f"{P}encoder.feature_extractor_audio.proj", enc + ("audio_proj",))
+    m += _linear_entries(f"{P}encoder.feature_extractor_video.proj", enc + ("video_proj",))
+    rn = enc + ("video_resnet",)
+    rtp = f"{P}encoder.feature_extractor_video.resnet"
+    m += [
+        (f"{rtp}.frontend3D.0.weight", rn + ("frontend_conv", "kernel"), _conv3d, "p"),
+        (f"{rtp}.frontend3D.1.weight", rn + ("frontend_bn", "scale"), _copy, "p"),
+        (f"{rtp}.frontend3D.1.bias", rn + ("frontend_bn", "bias"), _copy, "p"),
+        (f"{rtp}.frontend3D.1.running_mean", rn + ("frontend_bn", "mean"), _copy, "s"),
+        (f"{rtp}.frontend3D.1.running_var", rn + ("frontend_bn", "var"), _copy, "s"),
+        (f"{rtp}.frontend3D.2.weight", rn + ("frontend_prelu", "alpha"), _copy, "p"),
+    ]
+    for stage in range(1, 5):
+        for b in range(2):
+            has_ds = stage > 1 and b == 0
+            m += _resnet_block_entries(
+                f"{rtp}.trunk.layer{stage}.{b}",
+                rn + ("trunk", f"layer{stage}_{b}"),
+                has_ds,
+            )
+    # fusion + projection
+    m += _ln_entries(f"{P}encoder.layer_norm", enc + ("fuse_norm",))
+    if cfg.encoder.fused_dim != cfg.encoder.encoder_embed_dim:
+        m += _linear_entries(f"{P}encoder.post_extract_proj", enc + ("post_extract_proj",))
+    # transformer encoder
+    tr = enc + ("encoder",)
+    ttp = f"{P}encoder.encoder"
+    m += [
+        (f"{ttp}.pos_conv_embed.conv.weight_g", tr + ("pos_conv", "weight_g"), _copy, "p"),
+        (f"{ttp}.pos_conv_embed.conv.weight_v", tr + ("pos_conv", "weight_v"), _copy, "p"),
+        (f"{ttp}.pos_conv_embed.conv.bias", tr + ("pos_conv", "bias"), _copy, "p"),
+    ]
+    m += _ln_entries(f"{ttp}.layer_norm", tr + ("final_norm",))
+    for i in range(cfg.encoder.num_hidden_layers):
+        lt = f"{ttp}.layers.{i}"
+        lf = tr + (f"layer_{i}",)
+        m += _mha_entries(
+            f"{lt}.attention", lf + ("attention",),
+            [("q_proj", "q_proj"), ("k_proj", "k_proj"), ("v_proj", "v_proj"), ("out_proj", "out_proj")],
+        )
+        m += _ln_entries(f"{lt}.layer_norm", lf + ("layer_norm",))
+        m += _ln_entries(f"{lt}.final_layer_norm", lf + ("final_layer_norm",))
+        m += _linear_entries(f"{lt}.feed_forward.intermediate_dense", lf + ("intermediate_dense",))
+        m += _linear_entries(f"{lt}.feed_forward.output_dense", lf + ("output_dense",))
+    # CTC head
+    m += _linear_entries(f"{P}ctc.ctc_lo", ("ctc_lo",))
+    # decoder
+    if cfg.mtlalpha < 1:
+        dt = f"{P}decoder"
+        df = ("decoder",)
+        m += [(f"{dt}.embed.0.weight", df + ("embed", "embedding"), _copy, "p")]
+        for i in range(cfg.dlayers):
+            lt = f"{dt}.decoders.{i}"
+            lf = df + (f"blocks_{i}",)
+            m += _mha_entries(
+                f"{lt}.self_attn", lf + ("self_attn",),
+                [("linear_q", "linear_q"), ("linear_k", "linear_k"), ("linear_v", "linear_v"), ("linear_out", "linear_out")],
+            )
+            m += _mha_entries(
+                f"{lt}.src_attn", lf + ("src_attn",),
+                [("linear_q", "linear_q"), ("linear_k", "linear_k"), ("linear_v", "linear_v"), ("linear_out", "linear_out")],
+            )
+            for n in (1, 2, 3):
+                m += _ln_entries(f"{lt}.norm{n}", lf + (f"norm{n}",))
+            m += _linear_entries(f"{lt}.feed_forward.w_1", lf + ("w_1",))
+            m += _linear_entries(f"{lt}.feed_forward.w_2", lf + ("w_2",))
+        m += _ln_entries(f"{dt}.after_norm", df + ("after_norm",))
+        m += _linear_entries(f"{dt}.output_layer", df + ("output_layer",))
+    if cfg.adim != cfg.ddim:
+        m += _linear_entries(f"{P}proj_decoder", ("proj_decoder",))
+    return m
+
+
+# torch keys legitimately absent from the inference/fine-tune graph
+_IGNORABLE_SUFFIXES = (
+    "num_batches_tracked",
+    "mask_emb",
+    "label_embs_concat",
+    "position_ids",
+)
+
+# newer torch weight-norm spelling -> classic spelling
+_PARAMETRIZATION_RENAMES = {
+    ".parametrizations.weight.original0": ".weight_g",
+    ".parametrizations.weight.original1": ".weight_v",
+}
+
+
+def normalize_torch_keys(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in state.items():
+        for old, new in _PARAMETRIZATION_RENAMES.items():
+            if old in k:
+                k = k.replace(old, new)
+        out[k] = v
+    return out
+
+
+def torch_to_flax(
+    state: Dict[str, np.ndarray],
+    cfg: AVHubertAVSRConfig,
+    prefix: str = "avsr.",
+    strict: bool = True,
+) -> Dict[str, Any]:
+    """Convert a torch state dict to {"params": ..., "batch_stats": ...}."""
+    state = normalize_torch_keys(state)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    used = set()
+
+    def insert(tree, path, value):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = value
+
+    for tkey, fpath, transform, coll in avsr_mapping(cfg, prefix):
+        if tkey not in state:
+            if strict:
+                raise KeyError(f"missing torch key {tkey}")
+            continue
+        arr = transform(np.asarray(state[tkey]).astype(np.float32))
+        insert(params if coll == "p" else stats, fpath, arr)
+        used.add(tkey)
+
+    unused = [
+        k
+        for k in state
+        if k not in used and not any(k.endswith(s) for s in _IGNORABLE_SUFFIXES)
+    ]
+    if strict and unused:
+        raise KeyError(f"{len(unused)} unmapped torch keys, e.g. {unused[:8]}")
+    return {"params": params, "batch_stats": stats}
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a state dict from a safetensors file/dir or a torch .pth/.bin."""
+    if os.path.isdir(path):
+        for name in ("model.safetensors", "pytorch_model.bin"):
+            cand = os.path.join(path, name)
+            if os.path.exists(cand):
+                path = cand
+                break
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "model_state_dict" in sd:
+        sd = sd["model_state_dict"]
+    return {k: v.numpy() for k, v in sd.items()}
+
+
+def load_pretrained(model_dir: str):
+    """Load (config, variables) from an HF-style dir (config.json + weights)."""
+    cfg_path = os.path.join(model_dir, "config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            cfg = AVHubertAVSRConfig.from_dict(json.load(f))
+    else:
+        cfg = AVHubertAVSRConfig()
+    state = load_torch_state_dict(model_dir)
+    variables = torch_to_flax(state, cfg)
+    return cfg, variables

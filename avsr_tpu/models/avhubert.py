@@ -1,0 +1,225 @@
+"""AV-HuBERT encoder: modality feature extractors + fusion + transformer.
+
+TPU-native re-design of the reference AVHubertModel
+(/root/reference/src/nets/backend/backbones/avhubert.py:200) and its
+wav2vec2-style transformer encoder (:668-767):
+
+  audio (B,T,104) -> Linear -> (B,T,D)
+  video (B,T,88,88,1) -> ResEncoder -> Linear -> (B,T,D)
+  [train: whole-batch modality dropout]
+  concat -> LayerNorm(2D) -> Linear(2D->D) -> dropout
+  -> grouped weight-norm conv positional embedding + 24 pre-LN layers
+  -> final LayerNorm
+
+Everything is channels-last, statically shaped, and padded positions are
+zeroed + masked additively so the whole encoder jits as one XLA module.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from avsr_tpu.core.config import AVHubertEncoderConfig
+from avsr_tpu.models.resnet import ResEncoder
+
+NEG_INF = jnp.finfo(jnp.float32).min
+
+
+class ConvPositionalEmbedding(nn.Module):
+    """Grouped 1D conv positional embedding with weight normalization.
+
+    Parameters are stored in the torch weight-norm layout (weight_g (1,1,K),
+    weight_v (O, I/g, K), bias (O,)) so checkpoint import is a direct copy;
+    the effective kernel is materialized at trace time (fused by XLA).
+    """
+
+    dim: int
+    kernel_size: int
+    groups: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        o, ig, k = self.dim, self.dim // self.groups, self.kernel_size
+        w_v = self.param("weight_v", nn.initializers.normal(0.02), (o, ig, k))
+        w_g = self.param("weight_g", nn.initializers.ones, (1, 1, k))
+        bias = self.param("bias", nn.initializers.zeros, (o,))
+        # weight_norm(dim=2): normalize v over (O, I/g) per kernel position.
+        norm = jnp.sqrt(jnp.sum(w_v.astype(jnp.float32) ** 2, axis=(0, 1), keepdims=True))
+        w = (w_g * w_v / jnp.maximum(norm, 1e-12)).astype(x.dtype)
+        # (O, I/g, K) -> conv kernel (K, I/g, O) for NWC conv
+        kernel = jnp.transpose(w, (2, 1, 0))
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1,),
+            padding=[(k // 2, k // 2)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=self.groups,
+        )
+        y = y + bias.astype(x.dtype)
+        if k % 2 == 0:  # SamePadLayer: drop the trailing column
+            y = y[:, :-1, :]
+        return jax.nn.gelu(y, approximate=False)
+
+
+class EncoderSelfAttention(nn.Module):
+    """Wav2vec2-style MHA (q scaled by d_k^-0.5, all projections biased)."""
+
+    dim: int
+    heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        bias_mask: Optional[jax.Array],
+        deterministic: bool = True,
+    ) -> jax.Array:
+        d_k = self.dim // self.heads
+        b, t, _ = x.shape
+
+        def proj(name):
+            return nn.Dense(self.dim, name=name)(x).reshape(b, t, self.heads, d_k)
+
+        q = proj("q_proj") * (d_k ** -0.5)
+        k = proj("k_proj")
+        v = proj("v_proj")
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+        if bias_mask is not None:
+            scores = scores + bias_mask
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+        attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, self.dim)
+        return nn.Dense(self.dim, name="out_proj")(out)
+
+
+class EncoderLayer(nn.Module):
+    """Pre-LN layer (reference AVHubertEncoderLayer, avhubert.py:747-767)."""
+
+    cfg: AVHubertEncoderConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        bias_mask: Optional[jax.Array],
+        deterministic: bool = True,
+    ) -> jax.Array:
+        c = self.cfg
+        residual = x
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layer_norm")(x)
+        h = EncoderSelfAttention(
+            c.encoder_embed_dim, c.num_attention_heads, c.attention_dropout,
+            name="attention",
+        )(h, bias_mask, deterministic)
+        h = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(h)
+        x = residual + h
+
+        residual = x
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="final_layer_norm")(x)
+        h = nn.Dense(c.intermediate_size, name="intermediate_dense")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dropout(c.activation_dropout, deterministic=deterministic)(h)
+        h = nn.Dense(c.encoder_embed_dim, name="output_dense")(h)
+        h = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(h)
+        return residual + h
+
+
+class AVHubertTransformer(nn.Module):
+    """Conv pos-emb + N pre-LN layers + trailing LayerNorm (avhubert.py:668)."""
+
+    cfg: AVHubertEncoderConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        padding_mask: Optional[jax.Array] = None,  # (B, T) True = valid
+        deterministic: bool = True,
+    ) -> jax.Array:
+        c = self.cfg
+        bias_mask = None
+        if padding_mask is not None:
+            x = x * padding_mask[..., None].astype(x.dtype)
+            bias_mask = jnp.where(padding_mask, 0.0, NEG_INF)[:, None, None, :]
+
+        pos = ConvPositionalEmbedding(
+            c.encoder_embed_dim,
+            c.num_conv_pos_embeddings,
+            c.num_conv_pos_embedding_groups,
+            name="pos_conv",
+        )(x)
+        x = x + pos
+        x = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(x)
+        for i in range(c.num_hidden_layers):
+            x = EncoderLayer(c, name=f"layer_{i}")(x, bias_mask, deterministic)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps, name="final_norm")(x)
+
+
+class AVHubertModel(nn.Module):
+    """Full AV-HuBERT encoder: (audio, video, lengths) -> (B, T, D) features.
+
+    Inference path matches reference forward_gen(mask=False, features_only=True)
+    (avhubert.py:448-524); train adds whole-batch modality dropout (:476-482).
+    """
+
+    cfg: AVHubertEncoderConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        audio: Optional[jax.Array],  # (B, T, 104) stacked fbank or None
+        video: Optional[jax.Array],  # (B, T, 88, 88, 1) or None
+        padding_mask: Optional[jax.Array] = None,  # (B, T) True = valid
+        train: bool = False,
+    ) -> jax.Array:
+        c = self.cfg
+        d = c.encoder_embed_dim
+        deterministic = not train
+
+        if audio is not None:
+            feats_a = nn.Dense(d, name="audio_proj")(audio)
+        if video is not None:
+            v = ResEncoder(relu_type=c.resnet_relu_type, name="video_resnet")(
+                video, train=train
+            )
+            feats_v = nn.Dense(d, name="video_proj")(v)
+
+        if audio is None:
+            feats_a = jnp.zeros_like(feats_v)
+        if video is None:
+            feats_v = jnp.zeros_like(feats_a)
+
+        if c.modality == "audio":
+            feats_v = feats_v * 0
+        elif c.modality == "video":
+            feats_a = feats_a * 0
+        elif train and c.modality_dropout > 0:
+            # Reference draws one np.random per forward call: the whole batch
+            # drops a modality together. Keep those semantics with jax PRNG.
+            rng = self.make_rng("modality")
+            p_mod, p_aud = jax.random.uniform(rng, (2,))
+            drop = p_mod < c.modality_dropout
+            drop_audio = jnp.logical_and(drop, p_aud < c.audio_dropout)
+            drop_video = jnp.logical_and(drop, jnp.logical_not(p_aud < c.audio_dropout))
+            feats_a = jnp.where(drop_audio, 0.0, feats_a)
+            feats_v = jnp.where(drop_video, 0.0, feats_v)
+
+        if c.modality_fuse == "concat":
+            feats = jnp.concatenate([feats_a, feats_v], axis=-1)
+        else:
+            feats = feats_a + feats_v
+
+        feats = nn.LayerNorm(epsilon=1e-5, name="fuse_norm")(feats)
+        if c.fused_dim != d:
+            feats = nn.Dense(d, name="post_extract_proj")(feats)
+        feats = nn.Dropout(c.dropout_input, deterministic=deterministic)(feats)
+
+        return AVHubertTransformer(c, name="encoder")(
+            feats, padding_mask, deterministic
+        )

@@ -1,0 +1,142 @@
+"""Lip-reading video frontend: 3D conv stem + per-frame ResNet-18.
+
+TPU-native re-design of the reference ResEncoder
+(/root/reference/src/nets/backend/backbones/resnet.py:126): channels-last
+NDHWC/NHWC layouts so XLA tiles convs straight onto the MXU, and the
+per-frame trunk runs as one big (B*T) batch instead of a Python loop.
+
+Structure (matching the checkpoint):
+  frontend3D: Conv3D(1->64, k=(5,7,7), s=(1,2,2), p=(2,3,3), no bias)
+              + BN + PReLU + MaxPool3D(k=(1,3,3), s=(1,2,2), p=(0,1,1))
+  trunk: ResNet-18 (BasicBlock [2,2,2,2], PReLU) -> global avg pool -> 512
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class PReLU(nn.Module):
+    """Per-channel PReLU (torch nn.PReLU(num_parameters=C) semantics)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        alpha = self.param(
+            "alpha", lambda k, s: jnp.full(s, 0.25, jnp.float32), (self.channels,)
+        ).astype(x.dtype)
+        return jnp.where(x >= 0, x, alpha * x)
+
+
+def _relu_factory(relu_type: str, channels: int) -> Callable[[jax.Array], jax.Array]:
+    if relu_type == "prelu":
+        return PReLU(channels=channels)
+    if relu_type == "relu":
+        return jax.nn.relu
+    if relu_type == "swish":
+        return jax.nn.silu
+    raise ValueError(f"unknown relu_type {relu_type!r}")
+
+
+def _batch_norm(train: bool, name: str) -> nn.BatchNorm:
+    # torch defaults: eps=1e-5, momentum=0.1 (flax momentum = 1 - 0.1)
+    return nn.BatchNorm(
+        use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
+    )
+
+
+class BasicBlock(nn.Module):
+    """ResNet-18 basic block, stride in the first conv, 1x1-conv downsample."""
+
+    planes: int
+    stride: int = 1
+    relu_type: str = "prelu"
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        residual = x
+        out = nn.Conv(
+            self.planes, (3, 3), strides=(self.stride, self.stride),
+            padding=1, use_bias=False, name="conv1",
+        )(x)
+        out = _batch_norm(train, "bn1")(out)
+        out = _relu_factory(self.relu_type, self.planes)(out) if self.relu_type != "prelu" else PReLU(self.planes, name="relu1")(out)
+        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, name="conv2")(out)
+        out = _batch_norm(train, "bn2")(out)
+        if self.downsample:
+            residual = nn.Conv(
+                self.planes, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, name="downsample_conv",
+            )(x)
+            residual = _batch_norm(train, "downsample_bn")(residual)
+        out = out + residual
+        if self.relu_type == "prelu":
+            out = PReLU(self.planes, name="relu2")(out)
+        else:
+            out = _relu_factory(self.relu_type, self.planes)(out)
+        return out
+
+
+class ResNetTrunk(nn.Module):
+    """ResNet-18 over (N, H, W, C) frames -> (N, 512) global-avg-pooled."""
+
+    layers: Sequence[int] = (2, 2, 2, 2)
+    relu_type: str = "prelu"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        inplanes = x.shape[-1]
+        for stage, (planes, blocks) in enumerate(
+            zip((64, 128, 256, 512), self.layers)
+        ):
+            stride = 1 if stage == 0 else 2
+            for b in range(blocks):
+                s = stride if b == 0 else 1
+                need_ds = b == 0 and (s != 1 or inplanes != planes)
+                x = BasicBlock(
+                    planes=planes,
+                    stride=s,
+                    relu_type=self.relu_type,
+                    downsample=need_ds,
+                    name=f"layer{stage + 1}_{b}",
+                )(x, train=train)
+                inplanes = planes
+        return jnp.mean(x, axis=(1, 2))
+
+
+class ResEncoder(nn.Module):
+    """Video frontend: (B, T, H, W, 1) uint/float frames -> (B, T, 512)."""
+
+    relu_type: str = "prelu"
+
+    @nn.compact
+    def __call__(self, video: jax.Array, train: bool = False) -> jax.Array:
+        b, t = video.shape[:2]
+        x = nn.Conv(
+            64,
+            kernel_size=(5, 7, 7),
+            strides=(1, 2, 2),
+            padding=((2, 2), (3, 3), (3, 3)),
+            use_bias=False,
+            name="frontend_conv",
+        )(video)
+        x = _batch_norm(train, "frontend_bn")(x)
+        x = PReLU(64, name="frontend_prelu")(x) if self.relu_type == "prelu" else _relu_factory(self.relu_type, 64)(x)
+        # MaxPool3D k=(1,3,3) s=(1,2,2) p=(0,1,1): time dim untouched.
+        x = nn.max_pool(
+            x,
+            window_shape=(1, 3, 3),
+            strides=(1, 2, 2),
+            padding=((0, 0), (1, 1), (1, 1)),
+        )
+        # fold time into batch for the 2D trunk (a reshape, not a loop)
+        h, w, c = x.shape[2:]
+        x = x.reshape(b * t, h, w, c)
+        feats = ResNetTrunk(relu_type=self.relu_type, name="trunk")(x, train=train)
+        return feats.reshape(b, t, -1)
