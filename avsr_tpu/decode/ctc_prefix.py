@@ -1,0 +1,170 @@
+"""CTC prefix scoring (hybrid CTC/attention) as closed-form parallel ops.
+
+Re-design of the reference CTCPrefixScoreTH
+(/root/reference/src/nets/ctc_prefix_score.py:11-187), which runs a Python
+loop over T frames per decode step (:156-161). The forward recursions
+
+    r_n[t] = logaddexp(r_n[t-1], phi[t-1]) + x[t]
+    r_b[t] = logaddexp(r_n[t-1], r_b[t-1]) + b[t]
+
+are first-order linear recurrences in the log semiring, so they have closed
+forms via prefix sums:
+
+    r_n[t] = cumX[t] + logcumsumexp_j<=t( phi[j-1] - cumX[j-1] )
+    r_b[t] = cumB[t] + logcumsumexp_j<=t( r_n[j-1] - cumB[j-1] )
+    psi    = logsumexp_t( phi[t-1] + x[t] )  (+ init term)
+
+turning each decode step into O(1)-depth (T, K, S) tensor ops — ideal for
+the TPU VPU — instead of a T-step sequential scan.
+
+All shapes are static; the utterance length enters via pre-padded log-probs
+(frames >= xlen carry log-prob 0 for blank, LOG_ZERO elsewhere), exactly like
+the reference's padding (:47-50).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# the reference's logzero constant (ctc_prefix_score.py:33)
+LOG_ZERO = -1.0e10
+
+
+class CTCPrefixState(NamedTuple):
+    r: jax.Array  # (K, T, 2) forward probs [n, b] for each hyp's prefix
+    s: jax.Array  # (K,) absolute prefix score log(psi) of each hyp
+    last: jax.Array  # (K,) last token id of each prefix
+    out_len: jax.Array  # scalar int32: generated tokens so far (excl. sos)
+
+
+def pad_log_probs(log_probs: jax.Array, xlen: jax.Array, blank: int = 0) -> jax.Array:
+    """Set frames beyond xlen to [blank: 0, others: LOG_ZERO] (reference :47-50)."""
+    t = log_probs.shape[0]
+    pad = jnp.arange(t)[:, None] >= xlen
+    x = jnp.where(pad, LOG_ZERO, log_probs)
+    blank_col = jnp.where(pad[:, 0], 0.0, log_probs[:, blank])
+    return x.at[:, blank].set(blank_col)
+
+
+def init_state(log_probs: jax.Array, beam: int, sos: int) -> CTCPrefixState:
+    """Initial state for `beam` identical <sos> hypotheses.
+
+    log_probs: (T, V) already padded via pad_log_probs.
+    """
+    t = log_probs.shape[0]
+    r = jnp.full((beam, t, 2), LOG_ZERO, dtype=jnp.float32)
+    r = r.at[:, :, 1].set(jnp.cumsum(log_probs[:, 0])[None, :])
+    return CTCPrefixState(
+        r=r,
+        s=jnp.zeros((beam,), jnp.float32),
+        last=jnp.full((beam,), sos, jnp.int32),
+        out_len=jnp.asarray(0, jnp.int32),
+    )
+
+
+def score(
+    log_probs: jax.Array,  # (T, V) padded
+    xlen: jax.Array,  # scalar int32 true length
+    state: CTCPrefixState,
+    part_ids: jax.Array,  # (K, S) candidate token ids (pre-beam)
+    eos: int,
+    blank: int = 0,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Score candidate extensions of each prefix.
+
+    Returns:
+      delta:    (K, V) log psi(h+c) - log psi(h), LOG_ZERO-ish off part_ids
+      log_psi:  (K, V) absolute prefix scores (for state selection)
+      r_cands:  (K, S, T, 2) forward probs of each candidate extension
+    """
+    t_max, v = log_probs.shape
+    k, s = part_ids.shape
+
+    xs = jnp.take(log_probs, part_ids, axis=1)  # (T, K, S)
+    xb = log_probs[:, blank]  # (T,)
+
+    r_prev = jnp.transpose(state.r, (1, 2, 0))  # (T, 2, K)
+    r_sum = jnp.logaddexp(r_prev[:, 0], r_prev[:, 1])  # (T, K)
+    is_last = part_ids[None, :, :] == state.last[None, :, None]  # (1, K, S)
+    phi = jnp.where(is_last, r_prev[:, 1, :, None], r_sum[:, :, None])  # (T, K, S)
+
+    start = jnp.maximum(state.out_len, 1)
+    tidx = jnp.arange(t_max)
+
+    cum_x = jnp.cumsum(xs, axis=0)  # (T, K, S)
+    cum_x_m1 = jnp.concatenate([jnp.zeros_like(cum_x[:1]), cum_x[:-1]], axis=0)
+    phi_m1 = jnp.concatenate([jnp.full_like(phi[:1], LOG_ZERO), phi[:-1]], axis=0)
+
+    # r_n via log-semiring prefix sum. u[j] = phi[j-1] - cumX[j-1] for j>=start;
+    # the init contribution (r_n[0] = x[0] when out_len==0) lands at j=start-1
+    # as exactly 0 because cumX[0] == x[0].
+    init_here = (tidx == start - 1) & (state.out_len == 0)
+    u = jnp.where(
+        (tidx >= start)[:, None, None],
+        phi_m1 - cum_x_m1,
+        jnp.where(init_here[:, None, None], 0.0, -jnp.inf),
+    )
+    r_n = cum_x + jax.lax.cumlogsumexp(u, axis=0)  # (T, K, S)
+    r_n = jnp.maximum(r_n, LOG_ZERO)
+
+    # r_b[t] = cumB[t] + LSE_j<=t (r_n[j-1] - cumB[j-1]), j >= start
+    cum_b = jnp.cumsum(xb)  # (T,)
+    cum_b_m1 = jnp.concatenate([jnp.zeros_like(cum_b[:1]), cum_b[:-1]])
+    r_n_m1 = jnp.concatenate([jnp.full_like(r_n[:1], LOG_ZERO), r_n[:-1]], axis=0)
+    vterm = jnp.where(
+        (tidx >= start)[:, None, None],
+        r_n_m1 - cum_b_m1[:, None, None],
+        -jnp.inf,
+    )
+    r_b = cum_b[:, None, None] + jax.lax.cumlogsumexp(vterm, axis=0)
+    r_b = jnp.maximum(r_b, LOG_ZERO)
+
+    # log psi = LSE(r_n[start-1], LSE_{t in [start, T)} phi[t-1] + x[t])
+    phi_x = phi_m1 + xs  # (T, K, S)
+    valid = (tidx >= start)[:, None, None]
+    psi_terms = jnp.where(valid, phi_x, -jnp.inf)
+    init_term = jnp.where(
+        state.out_len == 0, xs[0], jnp.full_like(xs[0], LOG_ZERO)
+    )  # (K, S): r_n[start-1]
+    log_psi_c = jnp.logaddexp(
+        jax.scipy.special.logsumexp(psi_terms, axis=0), init_term
+    )  # (K, S)
+
+    # scatter candidates into the full vocab, fill rest with LOG_ZERO
+    full = jnp.full((k, v), LOG_ZERO, jnp.float32)
+    rows = jnp.arange(k)[:, None]
+    full = full.at[rows, part_ids].set(log_psi_c)
+    # eos always scores the prefix-terminal probability r_sum[xlen-1]
+    full = full.at[:, eos].set(r_sum[xlen - 1])
+    full = full.at[:, blank].set(LOG_ZERO)
+
+    delta = full - state.s[:, None]
+    r_cands = jnp.stack([r_n, r_b], axis=-1)  # (T, K, S, 2)
+    r_cands = jnp.transpose(r_cands, (1, 2, 0, 3))  # (K, S, T, 2)
+    return delta, full, r_cands
+
+
+def select(
+    state: CTCPrefixState,
+    log_psi: jax.Array,  # (K, V) absolute scores from `score`
+    r_cands: jax.Array,  # (K, S, T, 2)
+    part_ids: jax.Array,  # (K, S)
+    prev: jax.Array,  # (K',) selected source-hyp indices
+    token: jax.Array,  # (K',) selected token ids
+) -> CTCPrefixState:
+    """Gather the new state for the selected (prev, token) pairs."""
+    # position of token within part_ids[prev]; 0 if absent (only happens for
+    # eos, whose state is never used again) — mirrors scoring_idmap==-1 -> 0.
+    matches = part_ids[prev] == token[:, None]  # (K', S)
+    pos = jnp.argmax(matches, axis=1)
+    r_new = r_cands[prev, pos]  # (K', T, 2)
+    s_new = log_psi[prev, token]
+    return CTCPrefixState(
+        r=r_new,
+        s=s_new,
+        last=token.astype(jnp.int32),
+        out_len=state.out_len + 1,
+    )

@@ -243,7 +243,7 @@ class TransformerDecoder(nn.Module):
     ):
         """One decode step: returns (log-probs (B, V), updated cache)."""
         x = self.embed(y_t)[:, None, :] * math.sqrt(self.dim)
-        pe = sinusoidal_pe(self.max_decode_len, self.dim, x.dtype)
+        pe = sinusoidal_pe(cache.self_k.shape[2], self.dim, x.dtype)
         x = x + jax.lax.dynamic_slice_in_dim(pe, pos, 1, axis=1)
         new_k, new_v = [], []
         for i, blk in enumerate(self.blocks):

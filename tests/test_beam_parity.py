@@ -1,0 +1,203 @@
+"""Beam-search parity: fixed-shape XLA search vs reference BatchBeamSearch."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import requires_reference
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from avsr_tpu.core.checkpoint import torch_to_flax  # noqa: E402
+from avsr_tpu.decode import ctc_prefix  # noqa: E402
+from avsr_tpu.decode.beam import BeamSearchConfig, beam_search, greedy_ctc  # noqa: E402
+from avsr_tpu.models.e2e import AVSRModel  # noqa: E402
+
+pytestmark = requires_reference
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from tests.torch_ref import build_reference_model, numpy_state_dict, tiny_jax_config
+
+    tcfg, tmodel = build_reference_model(seed=3)
+    jcfg = tiny_jax_config()
+    variables = torch_to_flax(numpy_state_dict(tmodel), jcfg)
+    jmodel = AVSRModel(jcfg)
+    return tmodel, jmodel, variables, jcfg
+
+
+def _reference_beam(tmodel, x, beam_size=3):
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    import torch
+
+    from src.avhubert_avsr.avhubert_avsr_model import get_beam_search_decoder
+
+    token_list = [f"tok{i}" for i in range(61)]
+    bs = get_beam_search_decoder(
+        tmodel.avsr, token_list, ctc_weight=0.1, beam_size=beam_size
+    )
+    with torch.no_grad():
+        nbest = bs(torch.from_numpy(x))
+    best = nbest[0]
+    return np.asarray(best.yseq), float(best.score)
+
+
+def _our_beam(jmodel, variables, jcfg, x, beam_size=3):
+    feats = jnp.asarray(x)
+    ctc_logp = jmodel.apply(variables, feats[None], method="ctc_log_probs")[0]
+    bcfg = BeamSearchConfig(
+        beam_size=beam_size,
+        ctc_weight=0.1,
+        sos=jcfg.sos,
+        eos=jcfg.eos,
+        vocab=jcfg.odim,
+    )
+
+    def dec_step(y, pos, cache, mem_mask):
+        return jmodel.apply(variables, y, pos, cache, mem_mask, method="decoder_step")
+
+    def dec_init(memory, maxlen):
+        return jmodel.apply(variables, memory, maxlen, method="decoder_init")
+
+    yseq, length, score = beam_search(
+        bcfg, dec_step, dec_init, feats, ctc_logp, jnp.asarray(x.shape[0])
+    )
+    return np.asarray(yseq)[: int(length)], float(score)
+
+
+@pytest.mark.parametrize("seed,t", [(7, 12), (11, 20), (13, 6)])
+def test_beam_matches_reference(setup, seed, t):
+    tmodel, jmodel, variables, jcfg = setup
+    rng = np.random.RandomState(seed)
+    x = (rng.randn(t, 32) * 2.0).astype(np.float32)
+
+    ref_yseq, ref_score = _reference_beam(tmodel, x)
+    our_yseq, our_score = _our_beam(jmodel, variables, jcfg, x)
+
+    np.testing.assert_array_equal(our_yseq, ref_yseq)
+    np.testing.assert_allclose(our_score, ref_score, rtol=1e-3, atol=1e-3)
+
+
+def test_beam_padded_invariance(setup):
+    """Bucketed padding must not change the result."""
+    tmodel, jmodel, variables, jcfg = setup
+    rng = np.random.RandomState(23)
+    t = 10
+    x = (rng.randn(t, 32) * 2.0).astype(np.float32)
+
+    y1, s1 = _our_beam(jmodel, variables, jcfg, x)
+
+    feats_pad = jnp.asarray(np.concatenate([x, rng.randn(6, 32).astype(np.float32)]))
+    ctc_logp = jmodel.apply(variables, feats_pad[None], method="ctc_log_probs")[0]
+    bcfg = BeamSearchConfig(
+        beam_size=3, ctc_weight=0.1, sos=jcfg.sos, eos=jcfg.eos, vocab=jcfg.odim
+    )
+
+    def dec_step(y, pos, cache, mem_mask):
+        return jmodel.apply(variables, y, pos, cache, mem_mask, method="decoder_step")
+
+    def dec_init(memory, maxlen):
+        return jmodel.apply(variables, memory, maxlen, method="decoder_init")
+
+    yseq, length, s2 = beam_search(
+        bcfg, dec_step, dec_init, feats_pad, ctc_logp, jnp.asarray(t)
+    )
+    y2 = np.asarray(yseq)[: int(length)]
+    np.testing.assert_array_equal(y1, y2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-4, atol=1e-4)
+
+
+def test_ctc_prefix_matches_reference_impl(setup):
+    """Closed-form CTC prefix recursion vs reference CTCPrefixScoreTH."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    import torch
+
+    from src.nets.ctc_prefix_score import CTCPrefixScoreTH
+
+    rng = np.random.RandomState(3)
+    t, v, k, s = 9, 15, 3, 4
+    eos = v - 1
+    logits = rng.randn(t, v).astype(np.float32) * 2
+    logp = torch.log_softmax(torch.from_numpy(logits), dim=-1)
+
+    impl = CTCPrefixScoreTH(logp[None].clone(), torch.tensor([t]), 0, eos)
+
+    logp_j = ctc_prefix.pad_log_probs(jnp.asarray(logp.numpy()), jnp.asarray(t))
+    state = ctc_prefix.init_state(logp_j, k, eos)
+
+    # step 1: single hyp expanded (reference packs K identical hyps)
+    y = [torch.tensor([eos])] * k
+    ids = torch.from_numpy(
+        np.stack([rng.choice(v - 1, s, replace=False) for _ in range(k)])
+    )
+    tscore, tstate = impl(y, None, ids)
+    delta, log_psi, r_cands = ctc_prefix.score(
+        logp_j, jnp.asarray(t), state, jnp.asarray(ids.numpy()), eos
+    )
+    rows = np.arange(k)[:, None]
+    np.testing.assert_allclose(
+        np.asarray(delta)[rows, ids.numpy()],
+        tscore.numpy()[rows, ids.numpy()],
+        rtol=1e-4,
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(delta)[:, eos], tscore.numpy()[:, eos], rtol=1e-4, atol=1e-4
+    )
+
+    # select winners and do a second step
+    prev = np.array([0, 1, 2])
+    token = ids.numpy()[np.arange(k), np.array([0, 1, 2])]
+    # reference state selection: best_ids in (K, V)-flat space per batch=1
+    best_ids = torch.from_numpy((prev * v + token)[None, :])  # (1, K)
+    tsel = impl.index_select_state(tstate, best_ids)
+    state2 = ctc_prefix.select(
+        state, log_psi, r_cands, jnp.asarray(ids.numpy()),
+        jnp.asarray(prev), jnp.asarray(token),
+    )
+    np.testing.assert_allclose(
+        np.asarray(state2.s), tsel[1][:, 0].numpy(), rtol=1e-4, atol=1e-4
+    )
+
+    y2 = [torch.tensor([eos, tok]) for tok in token]
+    ids2 = torch.from_numpy(
+        np.stack([rng.choice(v - 1, s, replace=False) for _ in range(k)])
+    )
+    tscore2, _ = impl(y2, tsel, ids2)
+    delta2, _, _ = ctc_prefix.score(
+        logp_j, jnp.asarray(t), state2, jnp.asarray(ids2.numpy()), eos
+    )
+    np.testing.assert_allclose(
+        np.asarray(delta2)[rows, ids2.numpy()],
+        tscore2.numpy()[rows, ids2.numpy()],
+        rtol=1e-4,
+        atol=1e-4,
+    )
+
+
+def test_greedy_ctc():
+    lp = jnp.log(
+        jnp.asarray(
+            [
+                [0.1, 0.8, 0.1],
+                [0.1, 0.8, 0.1],
+                [0.8, 0.1, 0.1],
+                [0.1, 0.1, 0.8],
+                [0.1, 0.1, 0.8],
+                [0.8, 0.1, 0.1],
+            ],
+            jnp.float32,
+        )
+    )
+    toks, n = greedy_ctc(lp, jnp.asarray(6))
+    assert int(n) == 2
+    np.testing.assert_array_equal(np.asarray(toks)[:2], [1, 2])
+    # truncated length
+    toks, n = greedy_ctc(lp, jnp.asarray(2))
+    assert int(n) == 1
+    assert int(toks[0]) == 1
