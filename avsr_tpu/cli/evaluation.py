@@ -1,0 +1,329 @@
+"""Evaluation CLI: WER on LRS2 / AVCocktail, MCoRec session inference.
+
+Mirrors the reference flag surface and print format
+(/root/reference/script/evaluation.py:455-580): --model_type, --dataset_name,
+--set_id, --checkpoint_path, --cache_dir, --max_length, --beam_size,
+--output_dir_name. TPU-native execution: segments are batched into static
+shape buckets and decoded concurrently (reference decodes batch=1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import tempfile
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from avsr_tpu.data.collate import DataCollator
+from avsr_tpu.data.norm_text import norm_string
+from avsr_tpu.data.tokenizer import TextTransform
+from avsr_tpu.data.transforms import AudioTransform, VideoTransform
+from avsr_tpu.data import vtt
+from avsr_tpu.data.wer import wer
+from avsr_tpu.frontends.cluster import (
+    calculate_conversation_scores,
+    cluster_speakers,
+    get_speaker_activity_segments,
+)
+from avsr_tpu.frontends.segmentation import asd_chunks, fixed_chunks
+
+LRS2_SETS = [
+    "test",
+    "test_snr_n5_interferer_1",
+    "test_snr_n5_interferer_2",
+    "test_snr_0_interferer_1",
+    "test_snr_0_interferer_2",
+    "test_snr_5_interferer_1",
+    "test_snr_5_interferer_2",
+    "test_snr_10_interferer_1",
+    "test_snr_10_interferer_2",
+]
+AVCOCKTAIL_SETS = [f"video_{i}" for i in range(0, 51)]
+CHUNK_TYPES = ["asd_chunk", "fixed_chunk", "gold_chunk"]
+
+
+class InferenceEngine:
+    """Model + collator + batched TPU decode (InferenceEngine equivalent)."""
+
+    def __init__(
+        self,
+        model_type: str = "avsr_cocktail",
+        checkpoint_path: Optional[str] = None,
+        cache_dir: Optional[str] = None,
+        beam_size: int = 3,
+        max_length: int = 15,
+        batch_size: int = 8,
+        mode: str = "beam",
+    ):
+        if model_type not in ("avsr_cocktail",):
+            raise ValueError(f"unsupported model type {model_type!r}")
+        self.model_type = model_type
+        self.checkpoint_path = checkpoint_path
+        self.cache_dir = cache_dir or "./model-bin"
+        self.beam_size = beam_size
+        self.max_length = max_length
+        self.batch_size = batch_size
+        self.mode = mode
+        self.recognizer = None
+        self.text_transform: Optional[TextTransform] = None
+        self.collator: Optional[DataCollator] = None
+
+    def load_model(self):
+        from avsr_tpu.core.cache import enable_compilation_cache
+        from avsr_tpu.decode.recognizer import Recognizer
+
+        enable_compilation_cache()
+        self.text_transform = TextTransform()
+        self.collator = DataCollator(
+            text_transform=self.text_transform,
+            video_transform=VideoTransform("test"),
+            audio_transform=AudioTransform("test"),
+        )
+        path = self.checkpoint_path or os.path.join(self.cache_dir, "AVSRCocktail")
+        if not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"checkpoint dir {path} not found; pass --checkpoint_path pointing "
+                "to a local HF-style dir (config.json + model.safetensors)"
+            )
+        self.recognizer = Recognizer.from_pretrained(
+            path, beam_size=self.beam_size
+        )
+
+    # ---------------- sample preparation ----------------
+
+    def _prepare(self, sample: Dict) -> Dict:
+        """Accept {'video': path|bytes, [start_time, end_time]} samples."""
+        video = sample["video"]
+        if isinstance(video, (bytes, bytearray)):
+            tmp = tempfile.NamedTemporaryFile(suffix=".mp4", delete=False)
+            tmp.write(video)
+            tmp.close()
+            sample = dict(sample, video=tmp.name, _tmp=tmp.name)
+        return sample
+
+    def _features(self, samples: List[Dict]):
+        prepped = [self._prepare(s) for s in samples]
+        feats = []
+        for s in prepped:
+            batch = self.collator([s])
+            feats.append(
+                (batch["audios"][0], batch["videos"][0], batch["video_lengths"][0])
+            )
+            if "_tmp" in s:
+                os.unlink(s["_tmp"])
+        return feats
+
+    def infer_samples(self, samples: List[Dict]) -> List[str]:
+        """Decode a list of segment samples; returns normalized-cased text."""
+        outputs = []
+        for lo in range(0, len(samples), self.batch_size):
+            chunk = samples[lo : lo + self.batch_size]
+            feats = self._features(chunk)
+            auds = [np.asarray(a)[:l] for a, _, l in feats]
+            vids = [np.asarray(v)[:l] for _, v, l in feats]
+            token_batches = self.recognizer.transcribe_batch(
+                auds, vids, mode=self.mode, batch_pad=self.batch_size
+            )
+            for toks in token_batches:
+                text = self.text_transform.post_process(toks).replace("<eos>", "")
+                outputs.append(text)
+        return outputs
+
+    def infer_processed_sample(self, video) -> str:
+        return self.infer_samples([{"video": video}])[0]
+
+    # ---------------- chunked long-video inference ----------------
+
+    def chunk_video(self, video_path: str, asd_path: Optional[str] = None):
+        if asd_path is not None:
+            with open(asd_path) as f:
+                asd = json.load(f)
+            return asd_chunks(asd, max_length=self.max_length)
+        from avsr_tpu.data import media
+
+        wave = media.load_audio(video_path)
+        return fixed_chunks(len(wave) / media.SAMPLE_RATE, self.max_length)
+
+    def infer_video(
+        self, video_path: str, asd_path: Optional[str] = None, offset: float = 0.0
+    ) -> List[Dict]:
+        segments = self.chunk_video(video_path, asd_path)
+        samples = [
+            {"video": video_path, "start_time": s, "end_time": e}
+            for s, e in segments
+        ]
+        texts = self.infer_samples(samples)
+        return [
+            {"start_time": s + offset, "end_time": e + offset, "text": t}
+            for (s, e), t in zip(segments, texts)
+        ]
+
+    def mcorec_session_infer(self, session_dir: str, output_dir: str) -> None:
+        """Cluster speakers into conversations + produce per-speaker VTTs
+        (reference :337-385)."""
+        os.makedirs(output_dir, exist_ok=True)
+        with open(os.path.join(session_dir, "metadata.json")) as f:
+            metadata = json.load(f)
+
+        speaker_segments = {}
+        for name, data in metadata.items():
+            asd_paths = [
+                os.path.join(session_dir, track["asd"])
+                for track in data["central"]["crops"]
+            ]
+            uem = data["central"]["uem"]
+            speaker_segments[name] = get_speaker_activity_segments(
+                asd_paths, uem["start"], uem["end"]
+            )
+        scores = calculate_conversation_scores(speaker_segments)
+        clusters = cluster_speakers(scores, list(speaker_segments))
+        with open(os.path.join(output_dir, "speaker_to_cluster.json"), "w") as f:
+            json.dump(clusters, f, indent=4)
+
+        for name, data in metadata.items():
+            hyps: List[Dict] = []
+            for track in data["central"]["crops"]:
+                video_path = os.path.join(session_dir, track["lip"])
+                asd_path = (
+                    os.path.join(session_dir, track["asd"]) if "asd" in track else None
+                )
+                with open(os.path.join(session_dir, track["crop_metadata"])) as f:
+                    crop_meta = json.load(f)
+                hyps.extend(
+                    self.infer_video(video_path, asd_path, crop_meta["start_time"])
+                )
+            cues = [
+                vtt.Cue(h["start_time"], h["end_time"],
+                        h["text"].strip().replace("<unk>", "").strip())
+                for h in hyps
+            ]
+            with open(os.path.join(output_dir, f"{name}.vtt"), "w") as f:
+                f.write(vtt.write(cues))
+
+
+def eval_lrs2(engine: InferenceEngine, dataset) -> float:
+    refs, hyps = [], []
+    samples, labels = [], []
+    for sample in dataset:
+        label = sample["label"]
+        if isinstance(label, bytes):
+            label = label.decode("utf-8")
+        labels.append(norm_string(label.replace("<unk>", "")))
+        samples.append({"video": sample["video"]})
+    outputs = engine.infer_samples(samples)
+    hyps = [norm_string(o.replace("<unk>", "")) for o in outputs]
+    refs = labels
+    return wer(reference=refs, hypothesis=hyps)
+
+
+def eval_avcocktail(engine, video_dataset, label_dataset, set_name=None):
+    label_blob = label_dataset["label"][0]
+    if isinstance(label_blob, bytes):
+        label_blob = label_blob.decode("utf-8")
+    cues = [c for c in vtt.parse(label_blob) if c.text]
+    cues.sort(key=lambda c: c.start)
+    if not cues:
+        raise ValueError("no labels parsed")
+    start_time = min(c.start for c in cues)
+    end_time = max(c.end for c in cues)
+    label_text = norm_string(" ".join(c.text for c in cues))
+
+    wer_scores = {}
+    for chunk_type in CHUNK_TYPES:
+        picked = []
+        for sample in video_dataset[chunk_type]:
+            s = float(sample["start_time"]) if not isinstance(
+                sample["start_time"], bytes
+            ) else float(sample["start_time"].decode())
+            e = float(sample["end_time"]) if not isinstance(
+                sample["end_time"], bytes
+            ) else float(sample["end_time"].decode())
+            if s + 1 < start_time or e - 1 > end_time:
+                continue
+            picked.append((s, {"video": sample["video"]}))
+        picked.sort(key=lambda p: p[0])
+        outputs = engine.infer_samples([p[1] for p in picked])
+        output_text = norm_string(" ".join(outputs).replace("<unk>", ""))
+        wer_scores[chunk_type] = wer(reference=label_text, hypothesis=output_text)
+    return wer_scores, len(label_text.split())
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="TPU-native unified inference for AVSR models"
+    )
+    parser.add_argument(
+        "--model_type", type=str, default="avsr_cocktail",
+        choices=["avsr_cocktail", "auto_avsr", "muavic_en"],
+    )
+    parser.add_argument(
+        "--dataset_name", type=str, default="lrs2", choices=["lrs2", "AVCocktail"]
+    )
+    parser.add_argument(
+        "--set_id", type=str, default="*",
+        choices=LRS2_SETS + AVCOCKTAIL_SETS + ["*"],
+    )
+    parser.add_argument("--checkpoint_path", type=str, default=None)
+    parser.add_argument("--cache_dir", type=str, default="./model-bin")
+    parser.add_argument("--max_length", type=int, default=15)
+    parser.add_argument("--beam_size", type=int, default=3)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--decode_mode", type=str, default="beam",
+                        choices=["beam", "greedy"])
+    parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--output_dir_name", type=str, default="output")
+    return parser
+
+
+def _load_hf_dataset(name: str, config: str, **kw):
+    import datasets
+
+    return datasets.load_dataset(name, config, cache_dir="./data-bin/cache", **kw)
+
+
+def main():
+    args = build_parser().parse_args()
+    engine = InferenceEngine(
+        args.model_type,
+        args.checkpoint_path,
+        args.cache_dir,
+        args.beam_size,
+        args.max_length,
+        args.batch_size,
+        args.decode_mode,
+    )
+    engine.load_model()
+
+    if args.dataset_name == "lrs2":
+        sets = LRS2_SETS if args.set_id == "*" else [args.set_id]
+        scores = []
+        for set_id in sets:
+            print(f"Inferring lrs2/{set_id} sessions using {args.model_type} model")
+            ds = _load_hf_dataset("nguyenvulebinh/AVYT", "lrs2", streaming=True)[set_id]
+            score = eval_lrs2(engine, ds)
+            scores.append(score)
+            print(f"WER {set_id}: {score:.4f}")
+        if len(sets) > 1:
+            print(f"Average WER: {sum(scores) / len(scores):.4f}")
+    else:
+        sets = AVCOCKTAIL_SETS if args.set_id == "*" else [args.set_id]
+        agg: Dict[str, List[float]] = {}
+        for set_id in sets:
+            print(f"Inferring AVCocktail/{set_id} sessions using {args.model_type} model")
+            video_ds = _load_hf_dataset("nguyenvulebinh/AVCocktail", set_id)
+            label_ds = _load_hf_dataset("nguyenvulebinh/AVCocktail", "labels")[set_id]
+            wer_scores, n_words = eval_avcocktail(engine, video_ds, label_ds, set_id)
+            for chunk_type, score in wer_scores.items():
+                agg.setdefault(chunk_type, []).extend([score] * n_words)
+                print(f"WER {set_id} {chunk_type}: {score:.4f}")
+        if len(sets) > 1:
+            for chunk_type, scores in agg.items():
+                print(f"Average WER {chunk_type}: {sum(scores) / len(scores):.4f}")
+
+
+if __name__ == "__main__":
+    main()

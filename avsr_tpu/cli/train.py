@@ -1,0 +1,155 @@
+"""Training CLI, flag-compatible with the reference script/train.py:171-188.
+
+Runs the joint CTC/attention fine-tuning data-parallel over the TPU mesh.
+Adds --synthetic_dataset for offline end-to-end runs without network/media
+backends, and --data_parallel/--model_parallel mesh controls.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native AVSR training")
+    p.add_argument("--streaming_dataset", action="store_true", default=False)
+    p.add_argument("--include_mcorec", action="store_true", default=False)
+    p.add_argument("--batch_size", type=int, default=6)
+    p.add_argument("--max_steps", type=int, default=400000)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=2)
+    p.add_argument("--save_steps", type=int, default=2000)
+    p.add_argument("--eval_steps", type=int, default=2000)
+    p.add_argument("--log_interval", type=int, default=25)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--warmup_steps", type=int, default=4000)
+    p.add_argument("--resume_from_checkpoint", action="store_true", default=False)
+    p.add_argument("--checkpoint_name", type=str, default="avsr_avhubert_ctcattn")
+    p.add_argument("--model_name_or_path", type=str, default="./model-bin/avsr_cocktail")
+    p.add_argument("--report_to", type=str, default="none")
+    p.add_argument("--output_dir", type=str, default="./model-bin")
+    # TPU-specific additions
+    p.add_argument("--synthetic_dataset", action="store_true", default=False,
+                   help="train on deterministic synthetic AV data (no network)")
+    p.add_argument("--data_parallel", type=int, default=None,
+                   help="data-mesh size (default: all devices)")
+    p.add_argument("--model_parallel", type=int, default=1)
+    return p
+
+
+def main():
+    args = build_parser().parse_args()
+
+    from avsr_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from avsr_tpu.core.config import AVHubertAVSRConfig
+    from avsr_tpu.core.mesh import make_mesh
+    from avsr_tpu.data.collate import DataCollator
+    from avsr_tpu.data.tokenizer import TextTransform
+    from avsr_tpu.data.transforms import AudioTransform, VideoTransform
+    from avsr_tpu.train.loop import LoopConfig, run_training
+    from avsr_tpu.train.trainer import TrainConfig
+
+    output_dir = os.path.join(args.output_dir, args.checkpoint_name)
+    os.makedirs(output_dir, exist_ok=True)
+
+    text_transform = TextTransform()
+
+    pretrained = None
+    model_cfg = AVHubertAVSRConfig(odim=text_transform.vocab_size)
+    if args.model_name_or_path and os.path.exists(args.model_name_or_path):
+        from avsr_tpu.core.checkpoint import load_pretrained
+
+        print(f"Loading pretrained model from {args.model_name_or_path}")
+        model_cfg, pretrained = load_pretrained(args.model_name_or_path)
+    else:
+        print("Training from scratch (random init)")
+
+    if args.synthetic_dataset:
+        import jax
+
+        from avsr_tpu.data.dataset import synthetic_samples
+
+        n = (
+            args.batch_size
+            * jax.device_count()
+            * args.gradient_accumulation_steps
+            * (args.max_steps + 1)
+        )
+        train_samples = synthetic_samples(n, seed=0)
+        valid_fn = lambda: synthetic_samples(  # noqa: E731
+            args.batch_size * 4, seed=1
+        )
+        interferer = None
+    else:
+        from avsr_tpu.data.dataset import load_avsr_mixture, shard_for_host
+
+        train_ds, valid_ds, interferer_ds = load_avsr_mixture(
+            include_mcorec=args.include_mcorec, streaming=args.streaming_dataset
+        )
+        train_samples = shard_for_host(train_ds)
+        valid_fn = lambda: valid_ds  # noqa: E731
+
+        def interferer(rng):
+            idx = rng.randint(len(interferer_ds))
+            from avsr_tpu.data import media
+
+            sample = interferer_ds[int(idx)]
+            import io
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(suffix=".mp4") as f:
+                f.write(sample["video"])
+                f.flush()
+                return media.load_audio(f.name)
+
+    collator = DataCollator(
+        text_transform=text_transform,
+        video_transform=VideoTransform("train"),
+        audio_transform=AudioTransform("train", sample_interferer=interferer),
+        seed=11,
+    )
+    valid_collator = DataCollator(
+        text_transform=text_transform,
+        video_transform=VideoTransform("test"),
+        audio_transform=AudioTransform("test"),
+    )
+
+    mesh = make_mesh(data=args.data_parallel, model=args.model_parallel)
+    print(f"Mesh: {dict(mesh.shape)}")
+
+    loop_cfg = LoopConfig(
+        output_dir=output_dir,
+        max_steps=args.max_steps,
+        batch_size=args.batch_size,
+        grad_accum=args.gradient_accumulation_steps,
+        save_steps=args.save_steps,
+        eval_steps=args.eval_steps,
+        log_interval=args.log_interval,
+        report_to=args.report_to,
+        run_name=args.checkpoint_name,
+    )
+    train_cfg = TrainConfig(
+        learning_rate=args.learning_rate,
+        warmup_steps=args.warmup_steps,
+        max_steps=args.max_steps,
+        grad_accum=args.gradient_accumulation_steps,
+    )
+    run_training(
+        model_cfg,
+        loop_cfg,
+        train_samples,
+        collator,
+        valid_samples=valid_fn,
+        valid_collator=valid_collator,
+        pretrained_variables=pretrained,
+        train_cfg=train_cfg,
+        mesh=mesh,
+        resume_from_checkpoint=args.resume_from_checkpoint,
+    )
+
+
+if __name__ == "__main__":
+    main()

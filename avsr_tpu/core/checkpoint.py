@@ -129,17 +129,28 @@ def avsr_mapping(cfg: AVHubertAVSRConfig, prefix: str = "avsr."):
         (f"{ttp}.pos_conv_embed.conv.bias", tr + ("pos_conv", "bias"), _copy, "p"),
     ]
     m += _ln_entries(f"{ttp}.layer_norm", tr + ("final_norm",))
-    for i in range(cfg.encoder.num_hidden_layers):
-        lt = f"{ttp}.layers.{i}"
-        lf = tr + (f"layer_{i}",)
-        m += _mha_entries(
-            f"{lt}.attention", lf + ("attention",),
-            [("q_proj", "q_proj"), ("k_proj", "k_proj"), ("v_proj", "v_proj"), ("out_proj", "out_proj")],
-        )
-        m += _ln_entries(f"{lt}.layer_norm", lf + ("layer_norm",))
-        m += _ln_entries(f"{lt}.final_layer_norm", lf + ("final_layer_norm",))
-        m += _linear_entries(f"{lt}.feed_forward.intermediate_dense", lf + ("intermediate_dense",))
-        m += _linear_entries(f"{lt}.feed_forward.output_dense", lf + ("output_dense",))
+    # encoder layers are scanned: torch per-layer tensors stack on axis 0
+    n_layers = cfg.encoder.num_hidden_layers
+    lf = tr + ("layers",)
+    per_layer = []
+    for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        per_layer += [
+            (f"attention.{proj}.weight", ("attention", proj, "kernel"), _dense),
+            (f"attention.{proj}.bias", ("attention", proj, "bias"), _copy),
+        ]
+    for ln in ("layer_norm", "final_layer_norm"):
+        per_layer += [
+            (f"{ln}.weight", (ln, "scale"), _copy),
+            (f"{ln}.bias", (ln, "bias"), _copy),
+        ]
+    for ff in ("intermediate_dense", "output_dense"):
+        per_layer += [
+            (f"feed_forward.{ff}.weight", (ff, "kernel"), _dense),
+            (f"feed_forward.{ff}.bias", (ff, "bias"), _copy),
+        ]
+    for tsuffix, fsuffix, transform in per_layer:
+        keys = [f"{ttp}.layers.{i}.{tsuffix}" for i in range(n_layers)]
+        m.append((keys, lf + fsuffix, transform, "p"))
     # CTC head
     m += _linear_entries(f"{P}ctc.ctc_lo", ("ctc_lo",))
     # decoder
@@ -213,13 +224,24 @@ def torch_to_flax(
         node[path[-1]] = value
 
     for tkey, fpath, transform, coll in avsr_mapping(cfg, prefix):
-        if tkey not in state:
-            if strict:
-                raise KeyError(f"missing torch key {tkey}")
-            continue
-        arr = transform(np.asarray(state[tkey]).astype(np.float32))
+        if isinstance(tkey, list):  # stacked (scanned) layer parameters
+            missing = [k for k in tkey if k not in state]
+            if missing:
+                if strict:
+                    raise KeyError(f"missing torch keys {missing[:4]}")
+                continue
+            arr = np.stack(
+                [transform(np.asarray(state[k]).astype(np.float32)) for k in tkey]
+            )
+            used.update(tkey)
+        else:
+            if tkey not in state:
+                if strict:
+                    raise KeyError(f"missing torch key {tkey}")
+                continue
+            arr = transform(np.asarray(state[tkey]).astype(np.float32))
+            used.add(tkey)
         insert(params if coll == "p" else stats, fpath, arr)
-        used.add(tkey)
 
     unused = [
         k

@@ -1,0 +1,151 @@
+"""End-to-end recognizer: features -> encoder -> joint CTC/attn beam -> tokens.
+
+TPU execution strategy (vs the reference InferenceEngine, script/evaluation.py:209):
+  - utterances are padded into a small set of static (batch, frames) buckets so
+    every shape compiles once and is reused;
+  - the encoder runs as one jitted batch; beam search is vmapped across the
+    batch, so B utterances decode concurrently in one XLA program (the
+    reference decodes batch=1 with a Python token loop);
+  - greedy CTC decoding is available as a fast path.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avsr_tpu.core.config import AVHubertAVSRConfig
+from avsr_tpu.decode.beam import BeamSearchConfig, beam_search, greedy_ctc
+from avsr_tpu.models.e2e import AVSRModel
+
+
+def pick_bucket(buckets: Sequence[int], n: int) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"utterance of {n} frames exceeds largest bucket {buckets[-1]}")
+
+
+@dataclass
+class Recognizer:
+    model: AVSRModel
+    variables: dict
+    cfg: AVHubertAVSRConfig
+    beam_size: int = 3
+    ctc_weight: float = 0.1
+    t_buckets: Sequence[int] = (96, 192, 288, 384)
+    _encode_cache: dict = field(default_factory=dict, repr=False)
+    _beam_cache: dict = field(default_factory=dict, repr=False)
+    _greedy_cache: dict = field(default_factory=dict, repr=False)
+
+    @classmethod
+    def from_pretrained(cls, model_dir: str, **kw) -> "Recognizer":
+        from avsr_tpu.core.checkpoint import load_pretrained
+
+        cfg, variables = load_pretrained(model_dir)
+        return cls(model=AVSRModel(cfg), variables=variables, cfg=cfg, **kw)
+
+    # ---------------- jitted stages (cached per shape) ----------------
+
+    def _encode_fn(self):
+        if "fn" not in self._encode_cache:
+
+            @jax.jit
+            def run(audios, videos, lengths):
+                feats = self.model.apply(
+                    self.variables, audios, videos, lengths, method="encode"
+                )
+                ctc_logp = self.model.apply(
+                    self.variables, feats, method="ctc_log_probs"
+                )
+                return feats, ctc_logp
+
+            self._encode_cache["fn"] = run
+        return self._encode_cache["fn"]
+
+    def _beam_fn(self):
+        if "fn" not in self._beam_cache:
+            bcfg = BeamSearchConfig(
+                beam_size=self.beam_size,
+                ctc_weight=self.ctc_weight,
+                sos=self.cfg.sos,
+                eos=self.cfg.eos,
+                blank=self.cfg.blank,
+                vocab=self.cfg.odim,
+            )
+
+            def dec_step(y, pos, cache, mem_mask):
+                return self.model.apply(
+                    self.variables, y, pos, cache, mem_mask, method="decoder_step"
+                )
+
+            def dec_init(memory, maxlen):
+                return self.model.apply(
+                    self.variables, memory, maxlen, method="decoder_init"
+                )
+
+            single = functools.partial(beam_search, bcfg, dec_step, dec_init)
+            self._beam_cache["fn"] = jax.jit(jax.vmap(single))
+        return self._beam_cache["fn"]
+
+    def _greedy_fn(self):
+        if "fn" not in self._greedy_cache:
+            self._greedy_cache["fn"] = jax.jit(
+                jax.vmap(functools.partial(greedy_ctc, blank=self.cfg.blank))
+            )
+        return self._greedy_cache["fn"]
+
+    # ---------------- host-side batching ----------------
+
+    def _pad_batch(
+        self,
+        audio_feats: List[np.ndarray],  # each (T_i, 104)
+        videos: List[np.ndarray],  # each (T_i, 88, 88, 1)
+        batch_pad: Optional[int] = None,
+    ):
+        lengths = np.asarray([len(v) for v in videos], np.int32)
+        t_b = pick_bucket(self.t_buckets, int(lengths.max()))
+        b = batch_pad or len(videos)
+        aud = np.zeros((b, t_b, 104), np.float32)
+        vid = np.zeros((b, t_b, 88, 88, 1), np.float32)
+        for i, (a, v) in enumerate(zip(audio_feats, videos)):
+            aud[i, : len(a)] = a
+            vid[i, : len(v)] = v
+        lens = np.zeros((b,), np.int32)
+        lens[: len(videos)] = lengths
+        # padded rows decode 1 dummy frame to keep while_loops trivial
+        lens[len(videos):] = 1
+        return jnp.asarray(aud), jnp.asarray(vid), jnp.asarray(lens), len(videos)
+
+    def transcribe_batch(
+        self,
+        audio_feats: List[np.ndarray],
+        videos: List[np.ndarray],
+        mode: str = "beam",
+        batch_pad: Optional[int] = None,
+    ) -> List[np.ndarray]:
+        """Decode a batch; returns per-utterance token ids (no sos/eos)."""
+        aud, vid, lens, n = self._pad_batch(audio_feats, videos, batch_pad)
+        feats, ctc_logp = self._encode_fn()(aud, vid, lens)
+        if mode == "greedy":
+            toks, tlens = self._greedy_fn()(ctc_logp, lens)
+            toks, tlens = np.asarray(toks), np.asarray(tlens)
+            return [toks[i, : tlens[i]] for i in range(n)]
+        yseqs, ylens, _scores = self._beam_fn()(feats, ctc_logp, lens)
+        yseqs, ylens = np.asarray(yseqs), np.asarray(ylens)
+        out = []
+        for i in range(n):
+            seq = yseqs[i, 1 : ylens[i]]  # strip sos
+            seq = seq[seq != self.cfg.eos]  # strip eos (incl. forced double)
+            out.append(seq)
+        return out
+
+    def transcribe(
+        self, audio_feats: np.ndarray, video: np.ndarray, mode: str = "beam"
+    ) -> np.ndarray:
+        return self.transcribe_batch([audio_feats], [video], mode=mode)[0]

@@ -130,8 +130,21 @@ class EncoderLayer(nn.Module):
         return residual + h
 
 
+class _ScanEncoderLayer(EncoderLayer):
+    """EncoderLayer with a lax.scan-compatible (carry, None) signature."""
+
+    @nn.compact
+    def __call__(self, x, bias_mask, deterministic=True):  # type: ignore[override]
+        return super().__call__(x, bias_mask, deterministic), None
+
+
 class AVHubertTransformer(nn.Module):
-    """Conv pos-emb + N pre-LN layers + trailing LayerNorm (avhubert.py:668)."""
+    """Conv pos-emb + N pre-LN layers + trailing LayerNorm (avhubert.py:668).
+
+    The layer stack runs as one lax.scan over stacked parameters (leading
+    layer axis) — one compiled layer body instead of N unrolled copies, which
+    slashes XLA compile time and executable size for the 24-layer encoder.
+    """
 
     cfg: AVHubertEncoderConfig
 
@@ -156,8 +169,14 @@ class AVHubertTransformer(nn.Module):
         )(x)
         x = x + pos
         x = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(x)
-        for i in range(c.num_hidden_layers):
-            x = EncoderLayer(c, name=f"layer_{i}")(x, bias_mask, deterministic)
+        layers = nn.scan(
+            _ScanEncoderLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(nn.broadcast, nn.broadcast),
+            length=c.num_hidden_layers,
+        )(c, name="layers")
+        x, _ = layers(x, bias_mask, deterministic)
         return nn.LayerNorm(epsilon=c.layer_norm_eps, name="final_norm")(x)
 
 

@@ -1,0 +1,185 @@
+"""Training loop orchestration: batching, logging, checkpoints, eval, resume.
+
+The TPU-native counterpart of the reference's HF Trainer usage
+(script/train.py:259-314, custom_trainer.py:4): steps-based eval/save
+cadence, loss logging every log_interval, orbax checkpoints with optimizer
+state, resume-from-checkpoint (like the reference with ignore_data_skip=True,
+the data stream restarts on resume).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, Dict, Iterable, Iterator, List, Optional
+
+import jax
+import numpy as np
+
+from avsr_tpu.core.mesh import make_mesh, shard_accum_batch, shard_batch
+from avsr_tpu.train import trainer as T
+
+# static shape buckets: video frames and label lengths
+T_BUCKETS = (64, 128, 192, 256, 384, 512, 640)
+L_BUCKETS = (16, 32, 48, 64, 96, 128)
+
+
+@dataclasses.dataclass
+class LoopConfig:
+    output_dir: str = "model-bin/avsr_tpu"
+    max_steps: int = 400_000
+    batch_size: int = 6  # per-device micro batch (reference per_device_train_batch_size)
+    grad_accum: int = 2
+    save_steps: int = 2000
+    eval_steps: int = 2000
+    eval_batches: int = 50
+    log_interval: int = 25
+    seed: int = 0
+    report_to: str = "none"  # 'none' | 'wandb' | 'tensorboard'
+    run_name: str = "avsr_tpu"
+
+
+def batches_from_samples(
+    samples: Iterable[Dict],
+    collator,
+    batch_size: int,
+    grad_accum: int = 1,
+    drop_last: bool = True,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Group samples into (accum, B, ...) collated batches with bucketing."""
+    collator.t_buckets = T_BUCKETS
+    collator.l_buckets = L_BUCKETS
+    group: List[Dict] = []
+    want = batch_size * grad_accum
+    for sample in samples:
+        group.append(sample)
+        if len(group) == want:
+            batch = collator(group)
+            if grad_accum > 1:
+                batch = {
+                    k: v.reshape((grad_accum, batch_size) + v.shape[1:])
+                    for k, v in batch.items()
+                }
+            yield batch
+            group = []
+    if group and not drop_last:
+        yield collator(group)
+
+
+class MetricsLogger:
+    def __init__(self, cfg: LoopConfig):
+        self.cfg = cfg
+        self.backend = None
+        if cfg.report_to == "wandb":
+            try:
+                import wandb
+
+                wandb.init(project=os.environ.get("WANDB_PROJECT", "avsr_tpu"),
+                           name=cfg.run_name)
+                self.backend = wandb
+            except ImportError:
+                print("wandb not available; logging to stdout")
+        self._last = time.time()
+
+    def log(self, step: int, metrics: Dict[str, float], prefix: str = "train"):
+        now = time.time()
+        dt = now - self._last
+        self._last = now
+        line = " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items())
+        print(f"[{prefix} step {step}] {line} ({dt:.1f}s)")
+        if self.backend is not None:
+            self.backend.log(
+                {f"{prefix}/{k}": float(v) for k, v in metrics.items()}, step=step
+            )
+
+
+def run_training(
+    model_cfg,
+    loop_cfg: LoopConfig,
+    train_samples: Iterable[Dict],
+    collator,
+    valid_samples: Optional[Callable[[], Iterable[Dict]]] = None,
+    valid_collator=None,
+    pretrained_variables: Optional[dict] = None,
+    train_cfg: Optional[T.TrainConfig] = None,
+    mesh=None,
+    resume_from_checkpoint: bool = False,
+) -> T.TrainState:
+    """Run the training loop; returns the final state."""
+    mesh = mesh or make_mesh()
+    tcfg = train_cfg or T.TrainConfig(
+        max_steps=loop_cfg.max_steps, grad_accum=loop_cfg.grad_accum
+    )
+    os.makedirs(loop_cfg.output_dir, exist_ok=True)
+
+    # batch_size is per data-parallel device (reference per_device_train_batch_size)
+    global_batch = loop_cfg.batch_size * mesh.shape["data"]
+    batches = batches_from_samples(
+        train_samples, collator, global_batch, loop_cfg.grad_accum
+    )
+    first = next(batches)
+    example = (
+        {k: v[0] for k, v in first.items()} if loop_cfg.grad_accum > 1 else first
+    )
+    model, state = T.init_state(
+        model_cfg, tcfg, jax.random.PRNGKey(loop_cfg.seed), example,
+        variables=pretrained_variables,
+    )
+    tx = T.make_optimizer(tcfg)
+    if loop_cfg.grad_accum > 1:
+        step_fn = T.make_parallel_accum_train_step(model, tx, mesh)
+        put = shard_accum_batch
+    else:
+        step_fn = T.make_parallel_train_step(model, tx, mesh)
+        put = shard_batch
+
+    ckpt_root = os.path.abspath(os.path.join(loop_cfg.output_dir, "checkpoints"))
+    if resume_from_checkpoint and os.path.isdir(ckpt_root):
+        steps = sorted(int(d) for d in os.listdir(ckpt_root) if d.isdigit())
+        if steps:
+            path = os.path.join(ckpt_root, str(steps[-1]))
+            print(f"Resuming from {path}")
+            state = T.restore_checkpoint(path, state)
+
+    logger = MetricsLogger(loop_cfg)
+    rng = jax.random.PRNGKey(loop_cfg.seed + 1)
+    window: Dict[str, list] = {}
+
+    import itertools
+
+    for batch in itertools.chain([first], batches):
+        step_no = int(state.step)
+        if step_no >= loop_cfg.max_steps:
+            break
+        state, metrics = step_fn(
+            state, put(batch, mesh), jax.random.fold_in(rng, step_no)
+        )
+        for k, v in metrics.items():
+            window.setdefault(k, []).append(float(v))
+        step_no = int(state.step)
+
+        if step_no % loop_cfg.log_interval == 0:
+            logger.log(step_no, {k: np.mean(v) for k, v in window.items()})
+            window = {}
+
+        if valid_samples is not None and step_no % loop_cfg.eval_steps == 0:
+            ev: Dict[str, list] = {}
+            vbatches = batches_from_samples(
+                valid_samples(), valid_collator or collator, global_batch, 1
+            )
+            for i, vb in enumerate(vbatches):
+                if i >= loop_cfg.eval_batches:
+                    break
+                m = T.eval_step(model, state, shard_batch(vb, mesh))
+                for k, v in m.items():
+                    ev.setdefault(k, []).append(float(v))
+            if ev:
+                logger.log(step_no, {k: np.mean(v) for k, v in ev.items()}, "eval")
+
+        if step_no % loop_cfg.save_steps == 0:
+            path = os.path.join(ckpt_root, str(step_no))
+            T.save_checkpoint(path, state)
+            print(f"Saved checkpoint {path}")
+
+    return state

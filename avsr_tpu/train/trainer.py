@@ -1,0 +1,255 @@
+"""Training: optimizer, train/eval steps, data-parallel sharding, checkpoints.
+
+Optimization recipe mirrors the reference run configuration
+(/root/reference/script/train.py:181-182,272-285 via HF Trainer defaults):
+AdamW lr 1e-4, linear warmup 4000 steps then linear decay to max_steps,
+weight decay 0.005 (excluding biases/LayerNorm), grad-norm clip 1.0,
+gradient accumulation, loss = 0.1*ctc + 0.9*label-smoothed CE.
+
+TPU-native execution: one jitted train step over a `Mesh(('data','model'))`
+with batch sharded on 'data' and parameters replicated; XLA emits the
+gradient all-reduce over ICI (SURVEY §2.6/§5.8). Gradient accumulation runs
+as a lax.scan over micro-batches inside the same XLA program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from avsr_tpu.core.config import AVHubertAVSRConfig
+from avsr_tpu.core.mesh import DATA_AXIS, make_mesh
+from avsr_tpu.models.e2e import AVSRModel
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-4
+    warmup_steps: int = 4000
+    max_steps: int = 400_000
+    weight_decay: float = 0.005
+    max_grad_norm: float = 1.0
+    grad_accum: int = 1
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def lr_schedule(cfg: TrainConfig) -> optax.Schedule:
+    """HF Trainer 'linear' schedule: warmup then linear decay to 0."""
+    return optax.join_schedules(
+        [
+            optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps),
+            optax.linear_schedule(
+                cfg.learning_rate, 0.0, cfg.max_steps - cfg.warmup_steps
+            ),
+        ],
+        [cfg.warmup_steps],
+    )
+
+
+def _decay_mask(params) -> Any:
+    """HF Trainer excludes biases and LayerNorm weights from weight decay."""
+
+    def keep(path, leaf) -> bool:
+        names = {getattr(p, "key", getattr(p, "name", "")) for p in path}
+        if "bias" in names or "alpha" in names:
+            return False
+        # LayerNorm/BatchNorm scales are 1-D 'scale' leaves
+        last = getattr(path[-1], "key", "")
+        if last == "scale":
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(keep, params)
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adamw(
+            learning_rate=lr_schedule(cfg),
+            b1=cfg.b1,
+            b2=cfg.b2,
+            eps=cfg.eps,
+            weight_decay=cfg.weight_decay,
+            mask=_decay_mask,
+        ),
+    )
+
+
+def init_state(
+    model_cfg: AVHubertAVSRConfig,
+    train_cfg: TrainConfig,
+    rng: jax.Array,
+    example_batch: Dict[str, jax.Array],
+    variables: Optional[Dict[str, Any]] = None,
+) -> Tuple[AVSRModel, TrainState]:
+    """Initialize (or adopt pretrained) variables and optimizer state."""
+    model = AVSRModel(model_cfg)
+    if variables is None:
+        variables = model.init(
+            {"params": rng},
+            example_batch["videos"],
+            example_batch["audios"],
+            example_batch["labels"],
+            example_batch["video_lengths"],
+            example_batch["label_lengths"],
+        )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(train_cfg)
+    opt_state = tx.init(params)
+    return model, TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+    )
+
+
+def loss_fn(model, params, batch_stats, batch, rngs, train: bool = True):
+    variables = {"params": params, "batch_stats": batch_stats}
+    out, mutated = model.apply(
+        variables,
+        batch["videos"],
+        batch["audios"],
+        batch["labels"],
+        batch["video_lengths"],
+        batch["label_lengths"],
+        train=train,
+        rngs=rngs,
+        mutable=["batch_stats"] if train else [],
+    )
+    metrics = {
+        "loss": out.loss,
+        "loss_ctc": out.loss_ctc,
+        "loss_att": out.loss_att,
+        "acc": out.acc,
+    }
+    new_stats = mutated.get("batch_stats", batch_stats) if train else batch_stats
+    return out.loss, (metrics, new_stats)
+
+
+def train_step(model, tx, state: TrainState, batch, rng):
+    """One optimizer update; batch leading dim may include accum microbatches.
+
+    batch tensors: (accum, B, ...) when grad_accum > 1 else (B, ...).
+    """
+    accum = batch["videos"].ndim > 5  # (A, B, T, H, W, C)
+
+    def grads_of(p, stats, mb, key):
+        rngs = {"dropout": key, "modality": jax.random.fold_in(key, 1)}
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+            lambda pp: loss_fn(model, pp, stats, mb, rngs)
+        , has_aux=True)(p)
+        return grads, metrics, new_stats
+
+    if not accum:
+        grads, metrics, new_stats = grads_of(
+            state.params, state.batch_stats, batch, rng
+        )
+    else:
+        n = batch["videos"].shape[0]
+
+        def body(carry, inp):
+            g_acc, stats = carry
+            mb, key = inp
+            g, m, stats = grads_of(state.params, stats, mb, key)
+            g_acc = jax.tree.map(jnp.add, g_acc, g)
+            return (g_acc, stats), m
+
+        zeros = jax.tree.map(jnp.zeros_like, state.params)
+        keys = jax.random.split(rng, n)
+        (gsum, new_stats), ms = jax.lax.scan(
+            body, (zeros, state.batch_stats), (batch, keys)
+        )
+        grads = jax.tree.map(lambda g: g / n, gsum)
+        metrics = jax.tree.map(jnp.mean, ms)
+
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    metrics["grad_norm"] = optax.global_norm(grads)
+    return (
+        TrainState(
+            step=state.step + 1,
+            params=params,
+            batch_stats=new_stats,
+            opt_state=opt_state,
+        ),
+        metrics,
+    )
+
+
+def eval_step(model, state: TrainState, batch):
+    _, (metrics, _) = loss_fn(
+        model, state.params, state.batch_stats, batch, rngs={}, train=False
+    )
+    return metrics
+
+
+def make_parallel_train_step(model, tx, mesh):
+    """Jit the train step with data-parallel shardings over `mesh`."""
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+
+    @partial(
+        jax.jit,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+    def step(state, batch, rng):
+        return train_step(model, tx, state, batch, rng)
+
+    return step
+
+
+def make_parallel_accum_train_step(model, tx, mesh):
+    """Same, but batches carry a leading micro-batch (accum) dimension."""
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(None, DATA_AXIS))
+
+    @partial(
+        jax.jit,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+    def step(state, batch, rng):
+        return train_step(model, tx, state, batch, rng)
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (orbax)
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(path: str, state: TrainState) -> None:
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(path, state, force=True)
+    ckpt.wait_until_finished()
+
+
+def restore_checkpoint(path: str, template: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.StandardCheckpointer()
+    return ckpt.restore(path, template)

@@ -1,0 +1,88 @@
+"""Decode-throughput benchmark on the flagship model (real TPU).
+
+Metric: audio-seconds decoded per wall-clock second per chip, end-to-end
+(AV-HuBERT-large encoder forward + batched joint CTC/attention beam search,
+beam 3, 15 s segments) — the workload of the reference's
+script/evaluation.py, which runs it batch=1 with a Python token loop.
+
+vs_baseline compares against REF_AUDIO_SEC_PER_S, an estimate of the
+reference PyTorch pipeline on its own 24 GB-GPU class hardware (batch-1
+encoder forward ~0.3 s + ~375 sequential beam steps for a 15 s segment;
+consistent with the README's 56 h/epoch training budget on 2x Titan RTX).
+Replace with a measured number when reference hardware is available —
+see BASELINE.md.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REF_AUDIO_SEC_PER_S = 3.0  # estimated reference GPU decode throughput
+SEGMENT_SECONDS = 15.0
+FRAMES = 375  # 15 s * 25 fps
+BATCH = 8
+ITERS = 3
+
+
+def main() -> None:
+    import jax
+
+    from avsr_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax.numpy as jnp
+
+    from avsr_tpu.core.config import AVHubertAVSRConfig
+    from avsr_tpu.decode.recognizer import Recognizer
+    from avsr_tpu.models.e2e import AVSRModel
+
+    cfg = AVHubertAVSRConfig()
+    model = AVSRModel(cfg)
+
+    rng = np.random.RandomState(0)
+    b, t = BATCH, FRAMES
+    videos = jnp.asarray(rng.randn(1, 4, 88, 88, 1).astype(np.float32))
+    audios = jnp.asarray(rng.randn(1, 4, 104).astype(np.float32))
+    labels = jnp.asarray([[3, 4]], dtype=jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        videos, audios, labels,
+        jnp.asarray([4], jnp.int32), jnp.asarray([2], jnp.int32),
+    )
+    variables = jax.device_put(variables)
+
+    rec = Recognizer(
+        model=model, variables=variables, cfg=cfg, t_buckets=(FRAMES + 2,)
+    )
+    feats_a = [rng.randn(t, 104).astype(np.float32) for _ in range(b)]
+    feats_v = [rng.randn(t, 88, 88, 1).astype(np.float32) for _ in range(b)]
+
+    # warmup / compile
+    rec.transcribe_batch(feats_a, feats_v, mode="beam")
+
+    start = time.perf_counter()
+    for _ in range(ITERS):
+        rec.transcribe_batch(feats_a, feats_v, mode="beam")
+    elapsed = time.perf_counter() - start
+
+    audio_sec = BATCH * SEGMENT_SECONDS * ITERS
+    value = audio_sec / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "decode_throughput",
+                "value": round(value, 3),
+                "unit": "audio_sec/sec/chip",
+                "vs_baseline": round(value / REF_AUDIO_SEC_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

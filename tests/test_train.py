@@ -1,0 +1,116 @@
+"""Training-step tests on a virtual 8-device CPU mesh (data parallel)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from avsr_tpu.core.config import AVHubertAVSRConfig, AVHubertEncoderConfig  # noqa: E402
+from avsr_tpu.core.mesh import make_mesh, shard_accum_batch, shard_batch  # noqa: E402
+from avsr_tpu.train.trainer import (  # noqa: E402
+    TrainConfig,
+    eval_step,
+    init_state,
+    lr_schedule,
+    make_optimizer,
+    make_parallel_accum_train_step,
+    make_parallel_train_step,
+    init_state as _init_state,
+)
+
+
+def tiny_cfg():
+    return AVHubertAVSRConfig(
+        odim=31,
+        adim=16,
+        ddim=16,
+        dheads=2,
+        dunits=32,
+        dlayers=1,
+        encoder=AVHubertEncoderConfig(
+            encoder_embed_dim=16,
+            num_hidden_layers=1,
+            num_attention_heads=2,
+            intermediate_size=32,
+            num_conv_pos_embeddings=8,
+            num_conv_pos_embedding_groups=2,
+        ),
+    )
+
+
+def make_batch(b=8, t=4, l=3, seed=0, accum=None):
+    rng = np.random.RandomState(seed)
+    shape = lambda *s: ((accum,) + s) if accum else s  # noqa: E731
+    batch = {
+        "videos": rng.randn(*shape(b, t, 88, 88, 1)).astype(np.float32),
+        "audios": rng.randn(*shape(b, t, 104)).astype(np.float32),
+        "labels": rng.randint(1, 30, size=shape(b, l)).astype(np.int32),
+        "video_lengths": np.full(shape(b), t, np.int32),
+        "label_lengths": np.full(shape(b), l, np.int32),
+    }
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def test_lr_schedule():
+    cfg = TrainConfig(learning_rate=1e-4, warmup_steps=10, max_steps=110)
+    sched = lr_schedule(cfg)
+    assert float(sched(0)) == 0.0
+    assert float(sched(10)) == pytest.approx(1e-4)
+    assert float(sched(60)) == pytest.approx(5e-5)
+    assert float(sched(110)) == pytest.approx(0.0)
+
+
+def test_dp_train_step_runs_and_descends():
+    mesh = make_mesh()  # 8 virtual devices x 1
+    assert mesh.shape["data"] == 8
+    tcfg = TrainConfig(warmup_steps=2, max_steps=100, learning_rate=1e-3)
+    batch = make_batch()
+    model, state = init_state(tiny_cfg(), tcfg, jax.random.PRNGKey(0), batch)
+    tx = make_optimizer(tcfg)
+    step = make_parallel_train_step(model, tx, mesh)
+
+    batch = shard_batch(batch, mesh)
+    losses = []
+    rng = jax.random.PRNGKey(1)
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.fold_in(rng, i))
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 8
+    assert np.isfinite(losses).all()
+    # same batch repeatedly -> loss should drop
+    assert losses[-1] < losses[0]
+    ev = eval_step(model, state, make_batch(seed=3))
+    assert np.isfinite(float(ev["loss"]))
+
+
+def test_grad_accum_matches_big_batch():
+    """2 microbatches of 8 == concatenated batch of 16 (same grads modulo BN)."""
+    mesh = make_mesh()
+    tcfg = TrainConfig(warmup_steps=0, max_steps=100, learning_rate=1e-3)
+    flat = make_batch(b=16, seed=7)
+    model, state0 = init_state(tiny_cfg(), tcfg, jax.random.PRNGKey(0), flat)
+    tx = make_optimizer(tcfg)
+
+    accum_batch = {k: v.reshape((2, 8) + v.shape[1:]) for k, v in flat.items()}
+    astep = make_parallel_accum_train_step(model, tx, mesh)
+    state_a, metrics_a = astep(
+        state0, shard_accum_batch(accum_batch, mesh), jax.random.PRNGKey(5)
+    )
+    assert np.isfinite(float(metrics_a["loss"]))
+    assert int(state_a.step) == 1
+
+
+def test_weight_decay_mask():
+    tcfg = TrainConfig()
+    batch = make_batch(b=2)
+    model, state = init_state(tiny_cfg(), tcfg, jax.random.PRNGKey(0), batch)
+    from avsr_tpu.train.trainer import _decay_mask
+
+    mask = _decay_mask(state.params)
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    decayed = {jax.tree_util.keystr(p): v for p, v in flat}
+    # biases and norm scales excluded; dense kernels included
+    assert any(k.endswith("['kernel']") and v for k, v in decayed.items())
+    assert all(not v for k, v in decayed.items() if k.endswith("['bias']"))
+    assert all(not v for k, v in decayed.items() if k.endswith("['scale']"))
