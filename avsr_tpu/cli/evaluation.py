@@ -96,12 +96,19 @@ class InferenceEngine:
     # ---------------- sample preparation ----------------
 
     def _prepare(self, sample: Dict) -> Dict:
-        """Accept {'video': path|bytes, [start_time, end_time]} samples."""
+        """Accept {'video': path|bytes, ['audio': wav bytes], [start/end_time]}.
+
+        An optional 'audio' field (wav bytes) becomes a sidecar next to the
+        temp mp4 for environments without embedded-audio decode backends.
+        """
         video = sample["video"]
         if isinstance(video, (bytes, bytearray)):
             tmp = tempfile.NamedTemporaryFile(suffix=".mp4", delete=False)
             tmp.write(video)
             tmp.close()
+            if isinstance(sample.get("audio"), (bytes, bytearray)):
+                with open(os.path.splitext(tmp.name)[0] + ".wav", "wb") as f:
+                    f.write(sample["audio"])
             sample = dict(sample, video=tmp.name, _tmp=tmp.name)
         return sample
 
@@ -115,6 +122,9 @@ class InferenceEngine:
             )
             if "_tmp" in s:
                 os.unlink(s["_tmp"])
+                sidecar = os.path.splitext(s["_tmp"])[0] + ".wav"
+                if os.path.exists(sidecar):
+                    os.unlink(sidecar)
         return feats
 
     def infer_samples(self, samples: List[Dict]) -> List[str]:
@@ -213,7 +223,10 @@ def eval_lrs2(engine: InferenceEngine, dataset) -> float:
         if isinstance(label, bytes):
             label = label.decode("utf-8")
         labels.append(norm_string(label.replace("<unk>", "")))
-        samples.append({"video": sample["video"]})
+        s = {"video": sample["video"]}
+        if "audio" in sample:
+            s["audio"] = sample["audio"]
+        samples.append(s)
     outputs = engine.infer_samples(samples)
     hyps = [norm_string(o.replace("<unk>", "")) for o in outputs]
     refs = labels

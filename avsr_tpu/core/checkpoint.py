@@ -36,7 +36,9 @@ def _copy(w):
     return np.asarray(w)
 
 
-def _resnet_block_entries(tprefix: str, fprefix: Tuple[str, ...], has_ds: bool):
+def _resnet_block_entries(
+    tprefix: str, fprefix: Tuple[str, ...], has_ds: bool, prelu: bool = True
+):
     """Mapping entries for one BasicBlock (resnet.py:30-69)."""
     out = [
         (f"{tprefix}.conv1.weight", fprefix + ("conv1", "kernel"), _conv2d, "p"),
@@ -44,14 +46,17 @@ def _resnet_block_entries(tprefix: str, fprefix: Tuple[str, ...], has_ds: bool):
         (f"{tprefix}.bn1.bias", fprefix + ("bn1", "bias"), _copy, "p"),
         (f"{tprefix}.bn1.running_mean", fprefix + ("bn1", "mean"), _copy, "s"),
         (f"{tprefix}.bn1.running_var", fprefix + ("bn1", "var"), _copy, "s"),
-        (f"{tprefix}.relu1.weight", fprefix + ("relu1", "alpha"), _copy, "p"),
         (f"{tprefix}.conv2.weight", fprefix + ("conv2", "kernel"), _conv2d, "p"),
         (f"{tprefix}.bn2.weight", fprefix + ("bn2", "scale"), _copy, "p"),
         (f"{tprefix}.bn2.bias", fprefix + ("bn2", "bias"), _copy, "p"),
         (f"{tprefix}.bn2.running_mean", fprefix + ("bn2", "mean"), _copy, "s"),
         (f"{tprefix}.bn2.running_var", fprefix + ("bn2", "var"), _copy, "s"),
-        (f"{tprefix}.relu2.weight", fprefix + ("relu2", "alpha"), _copy, "p"),
     ]
+    if prelu:
+        out += [
+            (f"{tprefix}.relu1.weight", fprefix + ("relu1", "alpha"), _copy, "p"),
+            (f"{tprefix}.relu2.weight", fprefix + ("relu2", "alpha"), _copy, "p"),
+        ]
     if has_ds:
         out += [
             (f"{tprefix}.downsample.0.weight", fprefix + ("downsample_conv", "kernel"), _conv2d, "p"),
@@ -180,6 +185,197 @@ def avsr_mapping(cfg: AVHubertAVSRConfig, prefix: str = "avsr."):
     return m
 
 
+def _conv1d(w):  # (O, I/g, K) -> (K, I/g, O)
+    return np.ascontiguousarray(np.transpose(w, (2, 1, 0)))
+
+
+def _resnet2d_trunk_entries(tprefix: str, fprefix: Tuple[str, ...], prelu=False):
+    out = []
+    for stage in range(1, 5):
+        for b in range(2):
+            has_ds = stage > 1 and b == 0
+            out += _resnet_block_entries(
+                f"{tprefix}.layer{stage}.{b}", fprefix + (f"layer{stage}_{b}",),
+                has_ds, prelu,
+            )
+    return out
+
+
+def _bn_entries(tprefix: str, fprefix: Tuple[str, ...]):
+    return [
+        (f"{tprefix}.weight", fprefix + ("scale",), _copy, "p"),
+        (f"{tprefix}.bias", fprefix + ("bias",), _copy, "p"),
+        (f"{tprefix}.running_mean", fprefix + ("mean",), _copy, "s"),
+        (f"{tprefix}.running_var", fprefix + ("var",), _copy, "s"),
+    ]
+
+
+def _conformer_encoder_entries(tp: str, fp: Tuple[str, ...], n_layers: int,
+                               input_layer: str):
+    """Mapping for one reference conformer Encoder (encoder.py:46)."""
+    m = []
+    if input_layer == "conv3d":
+        fr = fp + ("frontend",)
+        m += [
+            (f"{tp}.frontend.frontend3D.0.weight", fr + ("frontend_conv", "kernel"), _conv3d, "p"),
+        ]
+        m += _bn_entries(f"{tp}.frontend.frontend3D.1", fr + ("frontend_bn",))
+        m += _resnet2d_trunk_entries(f"{tp}.frontend.trunk", fr + ("trunk",))
+    elif input_layer == "conv1d":
+        fr = fp + ("frontend",)
+        m += [(f"{tp}.frontend.trunk.conv1.weight", fr + ("conv1", "kernel"), _conv1d, "p")]
+        m += _bn_entries(f"{tp}.frontend.trunk.bn1", fr + ("bn1",))
+        for stage in range(1, 5):
+            for b in range(2):
+                has_ds = stage > 1 and b == 0
+                btp = f"{tp}.frontend.trunk.layer{stage}.{b}"
+                bfp = fr + (f"layer{stage}_{b}",)
+                m += [
+                    (f"{btp}.conv1.weight", bfp + ("conv1", "kernel"), _conv1d, "p"),
+                    (f"{btp}.conv2.weight", bfp + ("conv2", "kernel"), _conv1d, "p"),
+                ]
+                m += _bn_entries(f"{btp}.bn1", bfp + ("bn1",))
+                m += _bn_entries(f"{btp}.bn2", bfp + ("bn2",))
+                if has_ds:
+                    m += [(f"{btp}.downsample.0.weight", bfp + ("downsample_conv", "kernel"), _conv1d, "p")]
+                    m += _bn_entries(f"{btp}.downsample.1", bfp + ("downsample_bn",))
+    m += _linear_entries(f"{tp}.embed.0", fp + ("embed",))
+    m += _ln_entries(f"{tp}.after_norm", fp + ("after_norm",))
+
+    # scanned conformer layers: per-layer tensors stack on axis 0
+    per_layer = []  # (torch suffix, flax suffix, transform, collection)
+    for proj in ("linear_q", "linear_k", "linear_v", "linear_out"):
+        per_layer += [
+            (f"self_attn.{proj}.weight", ("self_attn", proj, "kernel"), _dense, "p"),
+            (f"self_attn.{proj}.bias", ("self_attn", proj, "bias"), _copy, "p"),
+        ]
+    per_layer += [
+        ("self_attn.linear_pos.weight", ("self_attn", "linear_pos", "kernel"), _dense, "p"),
+        ("self_attn.pos_bias_u", ("self_attn", "pos_bias_u"), _copy, "p"),
+        ("self_attn.pos_bias_v", ("self_attn", "pos_bias_v"), _copy, "p"),
+    ]
+    for ff in ("feed_forward", "feed_forward_macaron"):
+        for wname in ("w_1", "w_2"):
+            per_layer += [
+                (f"{ff}.{wname}.weight", (ff, wname, "kernel"), _dense, "p"),
+                (f"{ff}.{wname}.bias", (ff, wname, "bias"), _copy, "p"),
+            ]
+    for ln in ("norm_ff", "norm_mha", "norm_ff_macaron", "norm_conv", "norm_final"):
+        per_layer += [
+            (f"{ln}.weight", (ln, "scale"), _copy, "p"),
+            (f"{ln}.bias", (ln, "bias"), _copy, "p"),
+        ]
+    # reference spells pointwise conv 'pointwise_cov' (convolution.py:28,46)
+    for tc, fc, tr in (
+        ("pointwise_cov1", "pointwise_conv1", _conv1d),
+        ("depthwise_conv", "depthwise_conv", _conv1d),
+        ("pointwise_cov2", "pointwise_conv2", _conv1d),
+    ):
+        per_layer += [
+            (f"conv_module.{tc}.weight", ("conv_module", fc, "kernel"), tr, "p"),
+            (f"conv_module.{tc}.bias", ("conv_module", fc, "bias"), _copy, "p"),
+        ]
+    per_layer += [
+        ("conv_module.norm.weight", ("conv_module", "norm", "scale"), _copy, "p"),
+        ("conv_module.norm.bias", ("conv_module", "norm", "bias"), _copy, "p"),
+        ("conv_module.norm.running_mean", ("conv_module", "norm", "mean"), _copy, "s"),
+        ("conv_module.norm.running_var", ("conv_module", "norm", "var"), _copy, "s"),
+    ]
+    for tsuffix, fsuffix, transform, coll in per_layer:
+        keys = [f"{tp}.encoders.{i}.{tsuffix}" for i in range(n_layers)]
+        m.append((keys, fp + ("layers",) + fsuffix, transform, coll))
+    return m
+
+
+def _decoder_entries(dt: str, df: Tuple[str, ...], dlayers: int):
+    m = [(f"{dt}.embed.0.weight", df + ("embed", "embedding"), _copy, "p")]
+    for i in range(dlayers):
+        lt = f"{dt}.decoders.{i}"
+        lf = df + (f"blocks_{i}",)
+        for attn in ("self_attn", "src_attn"):
+            m += _mha_entries(
+                f"{lt}.{attn}", lf + (attn,),
+                [(n, n) for n in ("linear_q", "linear_k", "linear_v", "linear_out")],
+            )
+        for n in (1, 2, 3):
+            m += _ln_entries(f"{lt}.norm{n}", lf + (f"norm{n}",))
+        m += _linear_entries(f"{lt}.feed_forward.w_1", lf + ("w_1",))
+        m += _linear_entries(f"{lt}.feed_forward.w_2", lf + ("w_2",))
+    m += _ln_entries(f"{dt}.after_norm", df + ("after_norm",))
+    m += _linear_entries(f"{dt}.output_layer", df + ("output_layer",))
+    return m
+
+
+def conformer_avsr_mapping(n_layers: int = 12, dlayers: int = 6, prefix: str = ""):
+    """Mapping for the auto_avsr checkpoint (avsr_trlrwlrs2lrs3vox2avsp_base)."""
+    P = prefix
+    m = []
+    m += _conformer_encoder_entries(f"{P}encoder", ("encoder",), n_layers, "conv3d")
+    m += _conformer_encoder_entries(f"{P}aux_encoder", ("aux_encoder",), n_layers, "conv1d")
+    m += _linear_entries(f"{P}fusion.fc1", ("fusion", "fc1"))
+    m += _bn_entries(f"{P}fusion.bn1", ("fusion", "bn1"))
+    m += _linear_entries(f"{P}fusion.fc2", ("fusion", "fc2"))
+    m += _linear_entries(f"{P}ctc.ctc_lo", ("ctc_lo",))
+    m += _decoder_entries(f"{P}decoder", ("decoder",), dlayers)
+    return m
+
+
+def conformer_asr_mapping(n_layers: int = 12, dlayers: int = 6,
+                          input_layer: str = "conv1d", prefix: str = ""):
+    """Mapping for auto_asr (conv1d) / auto_vsr (conv3d) checkpoints."""
+    P = prefix
+    m = []
+    m += _conformer_encoder_entries(f"{P}encoder", ("encoder",), n_layers, input_layer)
+    m += _linear_entries(f"{P}ctc.ctc_lo", ("ctc_lo",))
+    m += _decoder_entries(f"{P}decoder", ("decoder",), dlayers)
+    return m
+
+
+def convert_state(
+    state: Dict[str, np.ndarray], mapping, strict: bool = True
+) -> Dict[str, Any]:
+    """Convert a torch state dict through an explicit mapping table."""
+    state = normalize_torch_keys(state)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    used = set()
+
+    def insert(tree, path, value):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = value
+
+    for tkey, fpath, transform, coll in mapping:
+        if isinstance(tkey, list):
+            missing = [k for k in tkey if k not in state]
+            if missing:
+                if strict:
+                    raise KeyError(f"missing torch keys {missing[:4]}")
+                continue
+            arr = np.stack(
+                [transform(np.asarray(state[k]).astype(np.float32)) for k in tkey]
+            )
+            used.update(tkey)
+        else:
+            if tkey not in state:
+                if strict:
+                    raise KeyError(f"missing torch key {tkey}")
+                continue
+            arr = transform(np.asarray(state[tkey]).astype(np.float32))
+            used.add(tkey)
+        insert(params if coll == "p" else stats, fpath, arr)
+
+    unused = [
+        k
+        for k in state
+        if k not in used and not any(k.endswith(s) for s in _IGNORABLE_SUFFIXES)
+    ]
+    if strict and unused:
+        raise KeyError(f"{len(unused)} unmapped torch keys, e.g. {unused[:8]}")
+    return {"params": params, "batch_stats": stats}
+
+
 # torch keys legitimately absent from the inference/fine-tune graph
 _IGNORABLE_SUFFIXES = (
     "num_batches_tracked",
@@ -211,46 +407,8 @@ def torch_to_flax(
     prefix: str = "avsr.",
     strict: bool = True,
 ) -> Dict[str, Any]:
-    """Convert a torch state dict to {"params": ..., "batch_stats": ...}."""
-    state = normalize_torch_keys(state)
-    params: Dict[str, Any] = {}
-    stats: Dict[str, Any] = {}
-    used = set()
-
-    def insert(tree, path, value):
-        node = tree
-        for p in path[:-1]:
-            node = node.setdefault(p, {})
-        node[path[-1]] = value
-
-    for tkey, fpath, transform, coll in avsr_mapping(cfg, prefix):
-        if isinstance(tkey, list):  # stacked (scanned) layer parameters
-            missing = [k for k in tkey if k not in state]
-            if missing:
-                if strict:
-                    raise KeyError(f"missing torch keys {missing[:4]}")
-                continue
-            arr = np.stack(
-                [transform(np.asarray(state[k]).astype(np.float32)) for k in tkey]
-            )
-            used.update(tkey)
-        else:
-            if tkey not in state:
-                if strict:
-                    raise KeyError(f"missing torch key {tkey}")
-                continue
-            arr = transform(np.asarray(state[tkey]).astype(np.float32))
-            used.add(tkey)
-        insert(params if coll == "p" else stats, fpath, arr)
-
-    unused = [
-        k
-        for k in state
-        if k not in used and not any(k.endswith(s) for s in _IGNORABLE_SUFFIXES)
-    ]
-    if strict and unused:
-        raise KeyError(f"{len(unused)} unmapped torch keys, e.g. {unused[:8]}")
-    return {"params": params, "batch_stats": stats}
+    """Convert an AVHubertAVSR torch state dict to flax variables."""
+    return convert_state(state, avsr_mapping(cfg, prefix), strict)
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:

@@ -53,16 +53,18 @@ class Recognizer:
     # ---------------- jitted stages (cached per shape) ----------------
 
     def _encode_fn(self):
+        # NOTE: variables are a traced argument, never a closure constant —
+        # closed-over weights become XLA constants and constant-folding the
+        # 325M-parameter model takes minutes.
         if "fn" not in self._encode_cache:
+            model = self.model
 
             @jax.jit
-            def run(audios, videos, lengths):
-                feats = self.model.apply(
-                    self.variables, audios, videos, lengths, method="encode"
+            def run(variables, audios, videos, lengths):
+                feats = model.apply(
+                    variables, audios, videos, lengths, method="encode"
                 )
-                ctc_logp = self.model.apply(
-                    self.variables, feats, method="ctc_log_probs"
-                )
+                ctc_logp = model.apply(variables, feats, method="ctc_log_probs")
                 return feats, ctc_logp
 
             self._encode_cache["fn"] = run
@@ -78,19 +80,24 @@ class Recognizer:
                 blank=self.cfg.blank,
                 vocab=self.cfg.odim,
             )
+            model = self.model
 
-            def dec_step(y, pos, cache, mem_mask):
-                return self.model.apply(
-                    self.variables, y, pos, cache, mem_mask, method="decoder_step"
-                )
+            @jax.jit
+            def run(variables, feats, ctc_logp, xlens):
+                def dec_step(y, pos, cache, mem_mask):
+                    return model.apply(
+                        variables, y, pos, cache, mem_mask, method="decoder_step"
+                    )
 
-            def dec_init(memory, maxlen):
-                return self.model.apply(
-                    self.variables, memory, maxlen, method="decoder_init"
-                )
+                def dec_init(memory, maxlen):
+                    return model.apply(
+                        variables, memory, maxlen, method="decoder_init"
+                    )
 
-            single = functools.partial(beam_search, bcfg, dec_step, dec_init)
-            self._beam_cache["fn"] = jax.jit(jax.vmap(single))
+                single = functools.partial(beam_search, bcfg, dec_step, dec_init)
+                return jax.vmap(single, in_axes=(0, 0, 0))(feats, ctc_logp, xlens)
+
+            self._beam_cache["fn"] = run
         return self._beam_cache["fn"]
 
     def _greedy_fn(self):
@@ -131,12 +138,12 @@ class Recognizer:
     ) -> List[np.ndarray]:
         """Decode a batch; returns per-utterance token ids (no sos/eos)."""
         aud, vid, lens, n = self._pad_batch(audio_feats, videos, batch_pad)
-        feats, ctc_logp = self._encode_fn()(aud, vid, lens)
+        feats, ctc_logp = self._encode_fn()(self.variables, aud, vid, lens)
         if mode == "greedy":
             toks, tlens = self._greedy_fn()(ctc_logp, lens)
             toks, tlens = np.asarray(toks), np.asarray(tlens)
             return [toks[i, : tlens[i]] for i in range(n)]
-        yseqs, ylens, _scores = self._beam_fn()(feats, ctc_logp, lens)
+        yseqs, ylens, _scores = self._beam_fn()(self.variables, feats, ctc_logp, lens)
         yseqs, ylens = np.asarray(yseqs), np.asarray(ylens)
         out = []
         for i in range(n):

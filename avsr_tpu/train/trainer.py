@@ -101,14 +101,18 @@ def init_state(
     """Initialize (or adopt pretrained) variables and optimizer state."""
     model = AVSRModel(model_cfg)
     if variables is None:
-        variables = model.init(
-            {"params": rng},
-            example_batch["videos"],
-            example_batch["audios"],
-            example_batch["labels"],
-            example_batch["video_lengths"],
-            example_batch["label_lengths"],
-        )
+        # jit the whole init: one XLA program instead of per-param kernels
+        # (essential over the high-latency TPU tunnel)
+        variables = jax.jit(
+            lambda k: model.init(
+                {"params": k},
+                example_batch["videos"],
+                example_batch["audios"],
+                example_batch["labels"],
+                example_batch["video_lengths"],
+                example_batch["label_lengths"],
+            )
+        )(rng)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(train_cfg)

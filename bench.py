@@ -49,12 +49,13 @@ def main() -> None:
     videos = jnp.asarray(rng.randn(1, 4, 88, 88, 1).astype(np.float32))
     audios = jnp.asarray(rng.randn(1, 4, 104).astype(np.float32))
     labels = jnp.asarray([[3, 4]], dtype=jnp.int32)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0)},
-        videos, audios, labels,
-        jnp.asarray([4], jnp.int32), jnp.asarray([2], jnp.int32),
-    )
-    variables = jax.device_put(variables)
+    variables = jax.jit(
+        lambda k: model.init(
+            {"params": k},
+            videos, audios, labels,
+            jnp.asarray([4], jnp.int32), jnp.asarray([2], jnp.int32),
+        )
+    )(jax.random.PRNGKey(0))
 
     rec = Recognizer(
         model=model, variables=variables, cfg=cfg, t_buckets=(FRAMES + 2,)
