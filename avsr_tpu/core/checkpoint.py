@@ -92,19 +92,19 @@ def _linear_entries(tprefix: str, fprefix: Tuple[str, ...]):
     ]
 
 
-def avsr_mapping(cfg: AVHubertAVSRConfig, prefix: str = "avsr."):
-    """Full (torch_key, flax_path, transform, collection) table.
+def avhubert_encoder_entries(tp: str, enc: Tuple[str, ...], n_layers: int,
+                             fused_proj: bool = True):
+    """Mapping for one AVHubertModel encoder (backbones/avhubert.py:200).
 
-    collection: "p" = params, "s" = batch_stats.
+    tp: torch prefix for the encoder module (e.g. 'avsr.encoder' or
+    'model.encoder'); enc: flax path prefix.
     """
-    P = prefix
     m = []
-    enc = ("encoder",)
     # modality feature extractors
-    m += _linear_entries(f"{P}encoder.feature_extractor_audio.proj", enc + ("audio_proj",))
-    m += _linear_entries(f"{P}encoder.feature_extractor_video.proj", enc + ("video_proj",))
+    m += _linear_entries(f"{tp}.feature_extractor_audio.proj", enc + ("audio_proj",))
+    m += _linear_entries(f"{tp}.feature_extractor_video.proj", enc + ("video_proj",))
     rn = enc + ("video_resnet",)
-    rtp = f"{P}encoder.feature_extractor_video.resnet"
+    rtp = f"{tp}.feature_extractor_video.resnet"
     m += [
         (f"{rtp}.frontend3D.0.weight", rn + ("frontend_conv", "kernel"), _conv3d, "p"),
         (f"{rtp}.frontend3D.1.weight", rn + ("frontend_bn", "scale"), _copy, "p"),
@@ -122,12 +122,12 @@ def avsr_mapping(cfg: AVHubertAVSRConfig, prefix: str = "avsr."):
                 has_ds,
             )
     # fusion + projection
-    m += _ln_entries(f"{P}encoder.layer_norm", enc + ("fuse_norm",))
-    if cfg.encoder.fused_dim != cfg.encoder.encoder_embed_dim:
-        m += _linear_entries(f"{P}encoder.post_extract_proj", enc + ("post_extract_proj",))
+    m += _ln_entries(f"{tp}.layer_norm", enc + ("fuse_norm",))
+    if fused_proj:
+        m += _linear_entries(f"{tp}.post_extract_proj", enc + ("post_extract_proj",))
     # transformer encoder
     tr = enc + ("encoder",)
-    ttp = f"{P}encoder.encoder"
+    ttp = f"{tp}.encoder"
     m += [
         (f"{ttp}.pos_conv_embed.conv.weight_g", tr + ("pos_conv", "weight_g"), _copy, "p"),
         (f"{ttp}.pos_conv_embed.conv.weight_v", tr + ("pos_conv", "weight_v"), _copy, "p"),
@@ -135,7 +135,6 @@ def avsr_mapping(cfg: AVHubertAVSRConfig, prefix: str = "avsr."):
     ]
     m += _ln_entries(f"{ttp}.layer_norm", tr + ("final_norm",))
     # encoder layers are scanned: torch per-layer tensors stack on axis 0
-    n_layers = cfg.encoder.num_hidden_layers
     lf = tr + ("layers",)
     per_layer = []
     for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
@@ -156,6 +155,20 @@ def avsr_mapping(cfg: AVHubertAVSRConfig, prefix: str = "avsr."):
     for tsuffix, fsuffix, transform in per_layer:
         keys = [f"{ttp}.layers.{i}.{tsuffix}" for i in range(n_layers)]
         m.append((keys, lf + fsuffix, transform, "p"))
+    return m
+
+
+def avsr_mapping(cfg: AVHubertAVSRConfig, prefix: str = "avsr."):
+    """Full (torch_key, flax_path, transform, collection) table.
+
+    collection: "p" = params, "s" = batch_stats.
+    """
+    P = prefix
+    m = []
+    m += avhubert_encoder_entries(
+        f"{P}encoder", ("encoder",), cfg.encoder.num_hidden_layers,
+        fused_proj=cfg.encoder.fused_dim != cfg.encoder.encoder_embed_dim,
+    )
     # CTC head
     m += _linear_entries(f"{P}ctc.ctc_lo", ("ctc_lo",))
     # decoder
@@ -320,6 +333,33 @@ def conformer_avsr_mapping(n_layers: int = 12, dlayers: int = 6, prefix: str = "
     return m
 
 
+def av2text_mapping(encoder_layers: int = 12, decoder_layers: int = 6,
+                    prefix: str = "model."):
+    """Mapping for the MuAViC AV2Text checkpoint (avhubert_muavic family)."""
+    P = prefix
+    m = avhubert_encoder_entries(
+        f"{P}encoder", ("encoder",), encoder_layers, fused_proj=True
+    )
+    dt = f"{P}decoder"
+    df = ("decoder",)
+    m += [(f"{dt}.embed_tokens.weight", df + ("embed_tokens", "embedding"), _copy, "p")]
+    for i in range(decoder_layers):
+        lt = f"{dt}.layers.{i}"
+        lf = df + (f"blocks_{i}",)
+        for attn in ("self_attn", "encoder_attn"):
+            for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                m += [
+                    (f"{lt}.{attn}.{proj}.weight", lf + (attn, proj, "kernel"), _dense, "p"),
+                    (f"{lt}.{attn}.{proj}.bias", lf + (attn, proj, "bias"), _copy, "p"),
+                ]
+        for ln in ("self_attn_layer_norm", "encoder_attn_layer_norm", "final_layer_norm"):
+            m += _ln_entries(f"{lt}.{ln}", lf + (ln,))
+        m += _linear_entries(f"{lt}.fc1", lf + ("fc1",))
+        m += _linear_entries(f"{lt}.fc2", lf + ("fc2",))
+    m += _ln_entries(f"{dt}.layer_norm", df + ("layer_norm",))
+    return m
+
+
 def conformer_asr_mapping(n_layers: int = 12, dlayers: int = 6,
                           input_layer: str = "conv1d", prefix: str = ""):
     """Mapping for auto_asr (conv1d) / auto_vsr (conv3d) checkpoints."""
@@ -382,6 +422,8 @@ _IGNORABLE_SUFFIXES = (
     "mask_emb",
     "label_embs_concat",
     "position_ids",
+    "lm_head.weight",  # tied to decoder.embed_tokens (avhubert2text.py:17)
+    "embed_positions.weights",  # sinusoidal buffer
 )
 
 # newer torch weight-norm spelling -> classic spelling

@@ -84,6 +84,7 @@ def beam_search(
     w_ctc = cfg.ctc_weight
     w_dec = 1.0 - w_ctc
 
+    use_ctc = cfg.ctc_weight > 0
     memory = jnp.broadcast_to(feats[None], (k,) + feats.shape)
     mem_mask = (jnp.arange(s_max)[None, None, :] < xlen)  # (1,1,S)
     mem_mask = jnp.broadcast_to(mem_mask, (k, 1, s_max))
@@ -115,11 +116,13 @@ def beam_search(
         weighted = w_dec * dec_logp
 
         # 2. pre-beam pruning on decoder scores, then CTC prefix scoring
-        _, part_ids = jax.lax.top_k(dec_logp, cfg.pre_beam_size)
-        delta, log_psi, r_cands = ctc_prefix.score(
-            log_probs, xlen, st.ctc, part_ids, cfg.eos, cfg.blank
-        )
-        weighted = weighted + w_ctc * delta
+        # (skipped entirely when ctc_weight == 0, e.g. attention-only S2S)
+        if use_ctc:
+            _, part_ids = jax.lax.top_k(dec_logp, cfg.pre_beam_size)
+            delta, log_psi, r_cands = ctc_prefix.score(
+                log_probs, xlen, st.ctc, part_ids, cfg.eos, cfg.blank
+            )
+            weighted = weighted + w_ctc * delta
         weighted = weighted + st.score[:, None]
         weighted = jnp.where(st.alive[:, None], weighted, NEG)
 
@@ -128,14 +131,19 @@ def beam_search(
         prev = top_idx // v
         token = (top_idx % v).astype(jnp.int32)
 
-        # 4. gather successor states
+        # 4. gather successor states. Only the self-attention caches are
+        # beam-dependent; src K/V are identical across slots (skipping their
+        # gather halves the per-step HBM traffic).
         yseq = st.yseq[prev].at[:, i + 1].set(token)
-        cache = jax.tree.map(
-            lambda a: a[:, prev] if a.ndim >= 2 and a.shape[1] == k else a, cache
+        cache = cache._replace(
+            self_k=cache.self_k[:, prev], self_v=cache.self_v[:, prev]
         )
-        ctc_state = ctc_prefix.select(
-            st.ctc, log_psi, r_cands, part_ids, prev, token
-        )
+        if use_ctc:
+            ctc_state = ctc_prefix.select(
+                st.ctc, log_psi, r_cands, part_ids, prev, token
+            )
+        else:
+            ctc_state = st.ctc
 
         # 5. retire ended hypotheses (natural eos, or forced at the last step)
         forced = i >= xlen - 1
