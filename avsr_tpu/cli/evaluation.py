@@ -58,8 +58,9 @@ class InferenceEngine:
         max_length: int = 15,
         batch_size: int = 8,
         mode: str = "beam",
+        model_kwargs: Optional[Dict] = None,
     ):
-        if model_type not in ("avsr_cocktail",):
+        if model_type not in ("avsr_cocktail", "auto_avsr", "muavic_en"):
             raise ValueError(f"unsupported model type {model_type!r}")
         self.model_type = model_type
         self.checkpoint_path = checkpoint_path
@@ -68,30 +69,120 @@ class InferenceEngine:
         self.max_length = max_length
         self.batch_size = batch_size
         self.mode = mode
+        self.model_kwargs = model_kwargs or {}
         self.recognizer = None
         self.text_transform: Optional[TextTransform] = None
         self.collator: Optional[DataCollator] = None
 
     def load_model(self):
         from avsr_tpu.core.cache import enable_compilation_cache
-        from avsr_tpu.decode.recognizer import Recognizer
 
         enable_compilation_cache()
+        default_dirs = {
+            "avsr_cocktail": "AVSRCocktail",
+            "auto_avsr": "auto_avsr",
+            "muavic_en": "AV-HuBERT-MuAViC-en",
+        }
+        path = self.checkpoint_path or os.path.join(
+            self.cache_dir, default_dirs[self.model_type]
+        )
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"checkpoint {path} not found; pass --checkpoint_path pointing "
+                "to a local checkpoint (HF-style dir or .pth)"
+            )
+        if self.model_type == "avsr_cocktail":
+            self._load_avsr_cocktail(path)
+        elif self.model_type == "auto_avsr":
+            self._load_auto_avsr(path)
+        else:
+            self._load_muavic(path)
+
+    def _load_avsr_cocktail(self, path: str):
+        from avsr_tpu.decode.recognizer import Recognizer
+
         self.text_transform = TextTransform()
         self.collator = DataCollator(
             text_transform=self.text_transform,
             video_transform=VideoTransform("test"),
             audio_transform=AudioTransform("test"),
         )
-        path = self.checkpoint_path or os.path.join(self.cache_dir, "AVSRCocktail")
-        if not os.path.isdir(path):
-            raise FileNotFoundError(
-                f"checkpoint dir {path} not found; pass --checkpoint_path pointing "
-                "to a local HF-style dir (config.json + model.safetensors)"
-            )
-        self.recognizer = Recognizer.from_pretrained(
-            path, beam_size=self.beam_size
+        self.recognizer = Recognizer.from_pretrained(path, beam_size=self.beam_size)
+        self._decode_tokens = lambda toks: self.text_transform.post_process(
+            toks
+        ).replace("<eos>", "")
+
+    def _load_auto_avsr(self, path: str):
+        from avsr_tpu.core.checkpoint import (
+            conformer_avsr_mapping,
+            convert_state,
+            load_torch_state_dict,
         )
+        from avsr_tpu.data.transforms import RawAudioTransform
+        from avsr_tpu.decode.recognizer import Recognizer
+        from avsr_tpu.models.conformer import ConformerAVSR
+
+        self.text_transform = TextTransform()
+        self.collator = DataCollator(
+            text_transform=self.text_transform,
+            video_transform=VideoTransform("test"),
+            audio_transform=RawAudioTransform("test"),
+        )
+        model = ConformerAVSR(
+            odim=self.model_kwargs.pop("odim", self.text_transform.vocab_size),
+            **self.model_kwargs,
+        )
+        state = load_torch_state_dict(path)
+        variables = convert_state(
+            state, conformer_avsr_mapping(model.elayers, model.dlayers)
+        )
+        self.recognizer = Recognizer(
+            model=model,
+            variables=variables,
+            cfg=model,  # exposes sos/eos/blank/odim like the dataclass config
+            beam_size=self.beam_size,
+            audio_rate=640,
+            audio_dim=1,
+        )
+        self._decode_tokens = lambda toks: self.text_transform.post_process(
+            toks
+        ).replace("<eos>", "")
+
+    def _load_muavic(self, path: str):
+        import json as _json
+
+        from avsr_tpu.core.checkpoint import (
+            av2text_mapping,
+            convert_state,
+            load_torch_state_dict,
+        )
+        from avsr_tpu.data.s2t_tokenizer import Speech2TextTokenizer
+        from avsr_tpu.decode.s2t_generate import S2TGenerator
+        from avsr_tpu.models.av2text import AV2TextConfig, AV2TextModel
+
+        cfg_path = os.path.join(path, "config.json")
+        kw = {}
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                raw = _json.load(f)
+            import dataclasses
+
+            fields = {f.name for f in dataclasses.fields(AV2TextConfig)}
+            kw = {k: v for k, v in raw.items() if k in fields}
+        cfg = AV2TextConfig(**kw)
+        model = AV2TextModel(cfg)
+        state = load_torch_state_dict(path)
+        variables = convert_state(
+            state, av2text_mapping(cfg.encoder_layers, cfg.decoder_layers)
+        )
+        self.tokenizer = Speech2TextTokenizer.from_pretrained(path)
+        self.collator = DataCollator(
+            text_transform=None,
+            video_transform=VideoTransform("test"),
+            audio_transform=AudioTransform("test"),
+        )
+        self.generator = S2TGenerator(model, variables, beam_size=self.beam_size)
+        self.recognizer = None
 
     # ---------------- sample preparation ----------------
 
@@ -128,19 +219,33 @@ class InferenceEngine:
         return feats
 
     def infer_samples(self, samples: List[Dict]) -> List[str]:
-        """Decode a list of segment samples; returns normalized-cased text."""
+        """Decode a list of segment samples; returns transcripts."""
         outputs = []
         for lo in range(0, len(samples), self.batch_size):
             chunk = samples[lo : lo + self.batch_size]
             feats = self._features(chunk)
-            auds = [np.asarray(a)[:l] for a, _, l in feats]
+            if self.model_type == "muavic_en":
+                # pad into one fixed batch for the generator
+                t_max = max(int(l) for _, _, l in feats)
+                b = self.batch_size
+                auds = np.zeros((b, t_max, 104), np.float32)
+                vids = np.zeros((b, t_max, 88, 88, 1), np.float32)
+                lens = np.ones((b,), np.int32)
+                for i, (a, v, l) in enumerate(feats):
+                    auds[i, :l] = np.asarray(a)[:l]
+                    vids[i, :l] = np.asarray(v)[:l]
+                    lens[i] = l
+                token_batches = self.generator.generate(auds, vids, lens)[: len(chunk)]
+                outputs.extend(
+                    self.tokenizer.decode(t).upper() for t in token_batches
+                )
+                continue
+            auds = [np.asarray(a)[: l * self.recognizer.audio_rate] for a, _, l in feats]
             vids = [np.asarray(v)[:l] for _, v, l in feats]
             token_batches = self.recognizer.transcribe_batch(
                 auds, vids, mode=self.mode, batch_pad=self.batch_size
             )
-            for toks in token_batches:
-                text = self.text_transform.post_process(toks).replace("<eos>", "")
-                outputs.append(text)
+            outputs.extend(self._decode_tokens(toks) for toks in token_batches)
         return outputs
 
     def infer_processed_sample(self, video) -> str:

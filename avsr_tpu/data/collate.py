@@ -59,13 +59,19 @@ class DataCollator:
 
         b = len(videos)
         t_max = _bucket(max(len(v) for v in videos), self.t_buckets)
+        # audio rows per video frame: 1 for fbank features (104-d), 640 for
+        # raw waveform (1-d, conformer family)
+        a0 = audios[0].reshape(len(audios[0]), -1)
+        audio_rate = max(1, len(a0) // len(videos[0]))
+        audio_dim = a0.shape[-1]
         batch = {
             "videos": np.zeros((b, t_max, 88, 88, 1), np.float32),
-            "audios": np.zeros((b, t_max, 104), np.float32),
+            "audios": np.zeros((b, t_max * audio_rate, audio_dim), np.float32),
             "video_lengths": np.asarray([len(v) for v in videos], np.int32),
         }
         for i, (v, a) in enumerate(zip(videos, audios)):
             batch["videos"][i, : len(v)] = v
+            a = a.reshape(len(a), -1)
             batch["audios"][i, : len(a)] = a
 
         if labels:

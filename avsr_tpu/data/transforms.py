@@ -127,6 +127,35 @@ class VideoTransform:
         return (x - VIDEO_MEAN) / VIDEO_STD
 
 
+class RawAudioTransform:
+    """(T,) waveform -> (T, 1) layer-normalized raw waveform (av_dataset.py:193).
+
+    Used by the conformer (auto_avsr/auto_asr) family, whose audio frontend
+    consumes the waveform directly.
+    """
+
+    def __init__(self, subset: str = "test", snr_target: Optional[float] = None,
+                 noise: Optional[np.ndarray] = None):
+        self.train = subset == "train"
+        self.noise = noise
+        self.snr_target = snr_target
+
+    def __call__(self, wave: np.ndarray,
+                 rng: Optional[np.random.RandomState] = None) -> np.ndarray:
+        wave = np.asarray(wave, np.float32).reshape(-1)
+        if self.train:
+            rng = rng or np.random.RandomState()
+            wave = adaptive_time_mask(wave, 6400, 16000, rng)
+        elif self.snr_target is not None and self.noise is not None:
+            start = np.random.randint(0, max(1, len(self.noise) - len(wave)))
+            wave = add_noise_snr(
+                wave, self.noise[start : start + len(wave)], self.snr_target
+            )
+        mean = wave.mean()
+        var = wave.var()
+        return ((wave - mean) / np.sqrt(var + 1e-8))[:, None]
+
+
 class AudioTransform:
     """(T,) waveform -> (T/640, 104) stacked log-fbank features."""
 

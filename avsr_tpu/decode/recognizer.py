@@ -39,6 +39,10 @@ class Recognizer:
     beam_size: int = 3
     ctc_weight: float = 0.1
     t_buckets: Sequence[int] = (96, 192, 288, 384)
+    # audio layout per video frame: fbank features (1 x 104) for the
+    # avhubert family, raw waveform (640 x 1) for the conformer family
+    audio_rate: int = 1
+    audio_dim: int = 104
     _encode_cache: dict = field(default_factory=dict, repr=False)
     _beam_cache: dict = field(default_factory=dict, repr=False)
     _greedy_cache: dict = field(default_factory=dict, repr=False)
@@ -118,9 +122,10 @@ class Recognizer:
         lengths = np.asarray([len(v) for v in videos], np.int32)
         t_b = pick_bucket(self.t_buckets, int(lengths.max()))
         b = batch_pad or len(videos)
-        aud = np.zeros((b, t_b, 104), np.float32)
+        aud = np.zeros((b, t_b * self.audio_rate, self.audio_dim), np.float32)
         vid = np.zeros((b, t_b, 88, 88, 1), np.float32)
         for i, (a, v) in enumerate(zip(audio_feats, videos)):
+            a = a.reshape(-1, self.audio_dim)
             aud[i, : len(a)] = a
             vid[i, : len(v)] = v
         lens = np.zeros((b,), np.int32)

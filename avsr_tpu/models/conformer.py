@@ -348,6 +348,10 @@ class ConformerAVSR(nn.Module):
 
     eos = sos
 
+    @property
+    def blank(self):
+        return 0
+
     def setup(self):
         self.encoder = ConformerEncoder(
             self.adim, self.aheads, self.eunits, self.elayers,
@@ -368,8 +372,12 @@ class ConformerAVSR(nn.Module):
             dropout=self.dropout, attn_dropout=self.attn_dropout,
         )
 
-    def encode(self, videos, audios, lengths=None, train: bool = False):
-        """videos (B,T,88,88,1), audios raw waveform (B,T*640,1)."""
+    def encode(self, audios, videos, lengths=None, train: bool = False):
+        """audios raw waveform (B,T*640,1), videos (B,T,88,88,1).
+
+        Argument order (audio, video) is uniform across model families so the
+        Recognizer drives any of them.
+        """
         deterministic = not train
         vmask = None
         if lengths is not None:
@@ -395,7 +403,7 @@ class ConformerAVSR(nn.Module):
 
     def __call__(self, videos, audios, labels, video_lengths, label_lengths,
                  train: bool = False):
-        x = self.encode(videos, audios, video_lengths, train)
+        x = self.encode(audios, videos, video_lengths, train)
         logits = self.ctc_logits(x, train)
         loss_ctc = ctc_loss(logits, video_lengths, labels, label_lengths)
         ys_in, ys_out = add_sos_eos(labels, label_lengths, self.sos, self.sos)

@@ -108,7 +108,7 @@ def test_conformer_av_fused_features_parity(av_setup):
     videos = jnp.asarray(np.transpose(video_t, (0, 1, 3, 4, 2)))
     audios = jnp.asarray(audio_t)
     fused_j = np.asarray(
-        jmodel.apply(variables, videos, audios, None, method="encode")
+        jmodel.apply(variables, audios, videos, None, method="encode")
     )
     assert fused_j.shape == fused_t.shape
     np.testing.assert_allclose(fused_j, fused_t, **TOL)

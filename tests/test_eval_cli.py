@@ -110,3 +110,100 @@ def test_infer_video_chunks(checkpoint_dir, tmp_path):
     assert len(hyps) == 2
     assert hyps[0]["start_time"] == pytest.approx(0.0)
     assert hyps[1]["start_time"] == pytest.approx(1.0)
+
+
+@pytest.fixture(scope="module")
+def auto_avsr_checkpoint(tmp_path_factory):
+    """Tiny auto_avsr .pth in reference format (inner E2E state dict)."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    import torch
+
+    from src.auto_avsr.avsr_model import AutoAVSR
+    from src.auto_avsr.configuration_avsr import AutoAVSRConfig
+
+    from tests.test_conformer_parity import TINY, _randomize_bn
+
+    torch.manual_seed(21)
+    kw = dict(TINY)
+    kw.update({f"aux_{k}": v for k, v in TINY.items()
+               if k in ("adim", "aheads", "eunits", "elayers")})
+    tmodel = AutoAVSR(AutoAVSRConfig(**kw))
+    _randomize_bn(tmodel, 22)
+    d = tmp_path_factory.mktemp("auto_avsr")
+    path = str(d / "avsr_tiny.pth")
+    torch.save(tmodel.avsr.state_dict(), path)
+    return path
+
+
+def test_auto_avsr_engine(auto_avsr_checkpoint, tmp_path):
+    from avsr_tpu.cli.evaluation import InferenceEngine
+    from tests.test_conformer_parity import TINY
+
+    video_path = str(tmp_path / "a.mp4")
+    write_fixture_video(video_path, frames=16)
+
+    kw = {k: v for k, v in TINY.items()}
+    engine = InferenceEngine(
+        model_type="auto_avsr",
+        checkpoint_path=auto_avsr_checkpoint,
+        beam_size=2,
+        batch_size=2,
+        model_kwargs=kw,
+    )
+    engine.load_model()
+    out = engine.infer_processed_sample(video_path)
+    assert isinstance(out, str)
+
+
+@pytest.fixture(scope="module")
+def muavic_checkpoint(tmp_path_factory):
+    """Tiny AV2Text checkpoint dir (safetensors + config + tokenizer assets)."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    from tests.test_av2text_parity import TINY, setup as _  # noqa: F401
+
+    # rebuild the torch model the same way the parity fixture does
+    import tests.test_av2text_parity as mod
+
+    request = None
+
+    class _Req:  # minimal stand-in to call the fixture function directly
+        pass
+
+    # call the underlying fixture function
+    tmodel, _variables = mod.setup.__wrapped__()
+    d = tmp_path_factory.mktemp("muavic")
+    state = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    state = {k: v for k, v in state.items() if "num_batches" not in k}
+    save_file(state, str(d / "model.safetensors"))
+    cfg = dict(TINY)
+    cfg.update(num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4)
+    with open(d / "config.json", "w") as f:
+        json.dump(cfg, f)
+    # tokenizer assets: vocab over the tiny id space; reuse the real spm model
+    vocab = {"<s>": 0, "<pad>": 1, "</s>": 2, "<unk>": 3}
+    vocab.update({f"▁TOK{i}": i for i in range(4, 51)})
+    with open(d / "vocab.json", "w", encoding="utf-8") as f:
+        json.dump(vocab, f)
+    return str(d)
+
+
+def test_muavic_engine(muavic_checkpoint, tmp_path):
+    from avsr_tpu.cli.evaluation import InferenceEngine
+
+    video_path = str(tmp_path / "m.mp4")
+    write_fixture_video(video_path, frames=12)
+
+    engine = InferenceEngine(
+        model_type="muavic_en",
+        checkpoint_path=muavic_checkpoint,
+        beam_size=2,
+        batch_size=2,
+    )
+    engine.load_model()
+    out = engine.infer_processed_sample(video_path)
+    assert isinstance(out, str)
