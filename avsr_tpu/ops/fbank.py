@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -104,11 +105,55 @@ def stack_frames_np(feats: np.ndarray, stack_order: int = STACK_ORDER) -> np.nda
     return feats.reshape(-1, stack_order * f)
 
 
+def _load_native():
+    """ctypes handle to the C++ featurizer (avsr_tpu/native), if built."""
+    import ctypes
+
+    so = os.path.join(os.path.dirname(__file__), "..", "native", "libavsr_native.so")
+    if not os.path.exists(so):
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+        lib.fbank_stack.restype = ctypes.c_int
+        lib.fbank_stack.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.fbank_stack_rows.restype = ctypes.c_int
+        lib.fbank_stack_rows.argtypes = [ctypes.c_int]
+        return lib
+    except OSError:
+        return None
+
+
+_NATIVE = _load_native()
+
+
+def fbank_stack_native(signal: np.ndarray) -> np.ndarray:
+    """C++ featurizer path (identical math, ~an order of magnitude faster
+    than numpy per call on the host data plane)."""
+    import ctypes
+
+    wave = np.ascontiguousarray(signal, dtype=np.float32).reshape(-1)
+    rows = _NATIVE.fbank_stack_rows(len(wave))
+    out = np.empty((rows, 104), np.float32)
+    written = _NATIVE.fbank_stack(
+        wave.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(wave),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out[:written]
+
+
 def fbank_stack_np(signal: np.ndarray) -> np.ndarray:
     """Full reference audio featurizer: logfbank -> stack4 -> per-frame LayerNorm.
 
     Returns (ceil(T/4), 104) float32, matching FBanksAndStack.forward.
+    Dispatches to the native C++ implementation when built.
     """
+    if _NATIVE is not None:
+        return fbank_stack_native(signal)
     feats = stack_frames_np(logfbank_np(signal))
     mean = feats.mean(axis=-1, keepdims=True)
     var = feats.var(axis=-1, keepdims=True)

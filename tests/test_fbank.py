@@ -93,3 +93,36 @@ def test_cut_or_pad():
     padded = F.cut_or_pad_np(a, 15)
     assert padded.shape == (15, 1)
     assert padded[10:].sum() == 0
+
+
+def test_native_matches_numpy():
+    from avsr_tpu.ops import fbank as F
+
+    if F._NATIVE is None:
+        pytest.skip("native library not built")
+    rng = np.random.RandomState(5)
+    for n in (640, 6400, 16123, 25 * 640):
+        sig = rng.randn(n).astype(np.float32)
+        native = F.fbank_stack_native(sig)
+        feats = F.stack_frames_np(F.logfbank_np(sig))
+        mean = feats.mean(axis=-1, keepdims=True)
+        var = feats.var(axis=-1, keepdims=True)
+        pure = ((feats - mean) / np.sqrt(var + 1e-5)).astype(np.float32)
+        assert native.shape == pure.shape
+        np.testing.assert_allclose(native, pure, rtol=1e-4, atol=1e-4)
+
+
+def test_native_speed():
+    from avsr_tpu.ops import fbank as F
+
+    if F._NATIVE is None:
+        pytest.skip("native library not built")
+    import time
+
+    sig = np.random.RandomState(0).randn(15 * 16000).astype(np.float32)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        F.fbank_stack_native(sig)
+    native_t = time.perf_counter() - t0
+    # 20 x 15s utterances; keep a sane absolute budget for the host data plane
+    assert native_t < 2.0, f"native featurizer too slow: {native_t:.2f}s/20 utts"
