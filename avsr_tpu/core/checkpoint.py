@@ -173,26 +173,7 @@ def avsr_mapping(cfg: AVHubertAVSRConfig, prefix: str = "avsr."):
     m += _linear_entries(f"{P}ctc.ctc_lo", ("ctc_lo",))
     # decoder
     if cfg.mtlalpha < 1:
-        dt = f"{P}decoder"
-        df = ("decoder",)
-        m += [(f"{dt}.embed.0.weight", df + ("embed", "embedding"), _copy, "p")]
-        for i in range(cfg.dlayers):
-            lt = f"{dt}.decoders.{i}"
-            lf = df + (f"blocks_{i}",)
-            m += _mha_entries(
-                f"{lt}.self_attn", lf + ("self_attn",),
-                [("linear_q", "linear_q"), ("linear_k", "linear_k"), ("linear_v", "linear_v"), ("linear_out", "linear_out")],
-            )
-            m += _mha_entries(
-                f"{lt}.src_attn", lf + ("src_attn",),
-                [("linear_q", "linear_q"), ("linear_k", "linear_k"), ("linear_v", "linear_v"), ("linear_out", "linear_out")],
-            )
-            for n in (1, 2, 3):
-                m += _ln_entries(f"{lt}.norm{n}", lf + (f"norm{n}",))
-            m += _linear_entries(f"{lt}.feed_forward.w_1", lf + ("w_1",))
-            m += _linear_entries(f"{lt}.feed_forward.w_2", lf + ("w_2",))
-        m += _ln_entries(f"{dt}.after_norm", df + ("after_norm",))
-        m += _linear_entries(f"{dt}.output_layer", df + ("output_layer",))
+        m += _decoder_entries(f"{P}decoder", ("decoder",), cfg.dlayers)
     if cfg.adim != cfg.ddim:
         m += _linear_entries(f"{P}proj_decoder", ("proj_decoder",))
     return m
@@ -301,19 +282,28 @@ def _conformer_encoder_entries(tp: str, fp: Tuple[str, ...], n_layers: int,
 
 
 def _decoder_entries(dt: str, df: Tuple[str, ...], dlayers: int):
+    """ESPnet transformer decoder -> scanned (stacked) flax layer stack."""
     m = [(f"{dt}.embed.0.weight", df + ("embed", "embedding"), _copy, "p")]
-    for i in range(dlayers):
-        lt = f"{dt}.decoders.{i}"
-        lf = df + (f"blocks_{i}",)
-        for attn in ("self_attn", "src_attn"):
-            m += _mha_entries(
-                f"{lt}.{attn}", lf + (attn,),
-                [(n, n) for n in ("linear_q", "linear_k", "linear_v", "linear_out")],
-            )
-        for n in (1, 2, 3):
-            m += _ln_entries(f"{lt}.norm{n}", lf + (f"norm{n}",))
-        m += _linear_entries(f"{lt}.feed_forward.w_1", lf + ("w_1",))
-        m += _linear_entries(f"{lt}.feed_forward.w_2", lf + ("w_2",))
+    per_layer = []
+    for attn in ("self_attn", "src_attn"):
+        for proj in ("linear_q", "linear_k", "linear_v", "linear_out"):
+            per_layer += [
+                (f"{attn}.{proj}.weight", (attn, proj, "kernel"), _dense),
+                (f"{attn}.{proj}.bias", (attn, proj, "bias"), _copy),
+            ]
+    for n in (1, 2, 3):
+        per_layer += [
+            (f"norm{n}.weight", (f"norm{n}", "scale"), _copy),
+            (f"norm{n}.bias", (f"norm{n}", "bias"), _copy),
+        ]
+    for wname in ("w_1", "w_2"):
+        per_layer += [
+            (f"feed_forward.{wname}.weight", (wname, "kernel"), _dense),
+            (f"feed_forward.{wname}.bias", (wname, "bias"), _copy),
+        ]
+    for tsuffix, fsuffix, transform in per_layer:
+        keys = [f"{dt}.decoders.{i}.{tsuffix}" for i in range(dlayers)]
+        m.append((keys, df + ("blocks",) + fsuffix, transform, "p"))
     m += _ln_entries(f"{dt}.after_norm", df + ("after_norm",))
     m += _linear_entries(f"{dt}.output_layer", df + ("output_layer",))
     return m

@@ -1,20 +1,24 @@
-"""Joint CTC/attention beam search as one fixed-shape lax.while_loop.
+"""Joint CTC/attention beam search, natively batched, as one lax.while_loop.
 
 Re-architecture of the reference BatchBeamSearch
 (/root/reference/src/nets/batch_beam_search.py:26, beam_search.py:30): the
 reference keeps Python lists of Hypothesis objects and does host-side list
 surgery every token (:250-285). Here the whole search lives on device:
 
+  - the batch of utterances is a real leading axis inside the loop (NOT an
+    outer vmap: a vmapped while_loop lane-masks every carry with `select`,
+    which rewrites the multi-hundred-MB KV caches each step — measured 4x
+    slower). Finished utterances keep computing into their caches; only the
+    small recording state (best hyp, scores) is masked.
   - beam slots are fixed arrays (yseq buffer, scores, alive mask);
   - the attention decoder is scored incrementally through per-layer KV caches
     (models/decoder.py) instead of prefix recomputation;
   - CTC prefix scores use the closed-form parallel recursion
-    (decode/ctc_prefix.py);
+    (decode/ctc_prefix.py), vmapped over the batch;
   - eos'd hypotheses are retired by masking, with the running best and the
     per-step ended statistics needed for the reference's end_detect
     (e2e_asr_common.py:18) tracked in fixed arrays;
-  - the final forced-eos step (beam_search.py:436-441) is folded into the
-    loop.
+  - the final forced-eos step (beam_search.py:436-441) is folded in.
 
 Scoring weights replicate get_beam_search_decoder
 (avhubert_avsr_model.py:12-36): decoder (1-ctc_weight), CTC ctc_weight,
@@ -24,7 +28,7 @@ pre-beam on decoder scores with ratio 1.5, length bonus 0.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,17 +42,17 @@ M_END = 3
 
 class BeamState(NamedTuple):
     i: jax.Array  # scalar step
-    yseq: jax.Array  # (K, L) token buffer, sos at [.,0]
-    score: jax.Array  # (K,)
-    alive: jax.Array  # (K,) bool
-    dec_cache: object  # DecoderCache pytree
-    ctc: ctc_prefix.CTCPrefixState
-    ended_best: jax.Array  # (L,) best ended score per step
-    ended_cnt: jax.Array  # (L,) ended count per step
-    best_score: jax.Array  # scalar: best ended score
-    best_yseq: jax.Array  # (L,)
-    best_len: jax.Array  # scalar
-    stop: jax.Array  # scalar bool
+    yseq: jax.Array  # (B, K, L) token buffer, sos at [..., 0]
+    score: jax.Array  # (B, K)
+    alive: jax.Array  # (B, K) bool
+    dec_cache: object  # DecoderCache pytree over B*K rows
+    ctc: ctc_prefix.CTCPrefixState  # leaves with leading (B,)
+    ended_best: jax.Array  # (B, L) best ended score per step
+    ended_cnt: jax.Array  # (B, L) ended count per step
+    best_score: jax.Array  # (B,)
+    best_yseq: jax.Array  # (B, L)
+    best_len: jax.Array  # (B,)
+    stop: jax.Array  # (B,) bool
 
 
 @dataclass(frozen=True)
@@ -66,123 +70,165 @@ class BeamSearchConfig:
         return int(self.pre_beam_ratio * self.beam_size)
 
 
-def beam_search(
+def beam_search_batched(
     cfg: BeamSearchConfig,
-    decoder_step: Callable,  # (y (K,), pos, cache, mem_mask) -> (logp (K,V), cache)
-    decoder_init: Callable,  # (memory (K,S,D), maxlen) -> cache
-    feats: jax.Array,  # (S, D) encoder output (padded)
-    ctc_log_probs: jax.Array,  # (S, V) CTC log-softmax (padded)
-    xlen: jax.Array,  # scalar true frame count
+    decoder_step: Callable,  # (y (N,), pos, cache, mem_mask) -> (logp (N,V), cache)
+    decoder_init: Callable,  # (memory (N,S,D), maxlen) -> cache
+    feats: jax.Array,  # (B, S, D) encoder outputs (padded)
+    ctc_log_probs: jax.Array,  # (B, S, V) CTC log-softmax (padded)
+    xlens: jax.Array,  # (B,) true frame counts
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Decode one utterance. Returns (yseq (L,), length, score).
+    """Decode a batch. Returns (yseqs (B, L), lengths (B,), scores (B,)).
 
-    yseq[0] == sos; yseq[1:length] are tokens including the final eos.
+    yseq[:, 0] == sos; yseq[b, 1:length[b]] are tokens incl. the final eos.
     """
+    b, s_max, v = ctc_log_probs.shape
     k = cfg.beam_size
-    s_max, v = ctc_log_probs.shape
+    n = b * k
     buf_len = s_max + 2
     w_ctc = cfg.ctc_weight
     w_dec = 1.0 - w_ctc
+    use_ctc = w_ctc > 0
 
-    use_ctc = cfg.ctc_weight > 0
-    memory = jnp.broadcast_to(feats[None], (k,) + feats.shape)
-    mem_mask = (jnp.arange(s_max)[None, None, :] < xlen)  # (1,1,S)
-    mem_mask = jnp.broadcast_to(mem_mask, (k, 1, s_max))
+    memory = jnp.repeat(feats, k, axis=0)  # (B*K, S, D)
+    mem_mask = jnp.arange(s_max)[None, :] < jnp.repeat(xlens, k)[:, None]
+    mem_mask = mem_mask[:, None, :]  # (B*K, 1, S)
 
-    log_probs = ctc_prefix.pad_log_probs(ctc_log_probs, xlen, cfg.blank)
+    log_probs = jax.vmap(ctc_prefix.pad_log_probs, in_axes=(0, 0, None))(
+        ctc_log_probs, xlens, cfg.blank
+    )
 
     init = BeamState(
         i=jnp.asarray(0, jnp.int32),
-        yseq=jnp.full((k, buf_len), cfg.eos, jnp.int32).at[:, 0].set(cfg.sos),
-        score=jnp.full((k,), NEG, jnp.float32).at[0].set(0.0),
-        alive=jnp.zeros((k,), bool).at[0].set(True),
+        yseq=jnp.full((b, k, buf_len), cfg.eos, jnp.int32).at[..., 0].set(cfg.sos),
+        score=jnp.full((b, k), NEG, jnp.float32).at[:, 0].set(0.0),
+        alive=jnp.zeros((b, k), bool).at[:, 0].set(True),
         dec_cache=decoder_init(memory, buf_len),
-        ctc=ctc_prefix.init_state(log_probs, k, cfg.sos),
-        ended_best=jnp.full((buf_len,), NEG, jnp.float32),
-        ended_cnt=jnp.zeros((buf_len,), jnp.int32),
-        best_score=jnp.asarray(NEG, jnp.float32),
-        best_yseq=jnp.full((buf_len,), cfg.eos, jnp.int32),
-        best_len=jnp.asarray(0, jnp.int32),
-        stop=jnp.asarray(False),
+        ctc=jax.vmap(ctc_prefix.init_state, in_axes=(0, None, None))(
+            log_probs, k, cfg.sos
+        ),
+        ended_best=jnp.full((b, buf_len), NEG, jnp.float32),
+        ended_cnt=jnp.zeros((b, buf_len), jnp.int32),
+        best_score=jnp.full((b,), NEG, jnp.float32),
+        best_yseq=jnp.full((b, buf_len), cfg.eos, jnp.int32),
+        best_len=jnp.zeros((b,), jnp.int32),
+        stop=jnp.zeros((b,), bool),
     )
 
     def cond(st: BeamState):
-        return jnp.logical_and(st.i < xlen, jnp.logical_not(st.stop))
+        lane_done = jnp.logical_or(st.stop, st.i >= xlens)
+        return jnp.logical_not(lane_done.all())
 
     def body(st: BeamState) -> BeamState:
         i = st.i
-        # 1. attention-decoder scores for all beam slots
-        dec_logp, cache = decoder_step(st.yseq[:, i], i, st.dec_cache, mem_mask)
-        weighted = w_dec * dec_logp
+        # lanes still decoding this step (reference loop bound: i < xlen)
+        lane_active = jnp.logical_and(~st.stop, i < xlens)  # (B,)
 
-        # 2. pre-beam pruning on decoder scores, then CTC prefix scoring
-        # (skipped entirely when ctc_weight == 0, e.g. attention-only S2S)
+        # 1. attention-decoder scores for all B*K slots
+        dec_logp, cache = decoder_step(
+            st.yseq[..., i].reshape(n), i, st.dec_cache, mem_mask
+        )
+        dec_logp = dec_logp.reshape(b, k, v)
+
+        # 2. pre-beam pruning on decoder scores, then CTC prefix scoring.
+        # Selection happens entirely in candidate space: only pre-beam tokens
+        # (+ eos, which CTC always scores) can win — everything else carries a
+        # w_ctc * LOG_ZERO penalty in the reference (batch_beam_search.py:236).
+        n_cand = cfg.pre_beam_size + 1  # + explicit eos slot
+        dec_top, part_ids = jax.lax.top_k(dec_logp, cfg.pre_beam_size)  # (B,K,S')
+        cand_tokens = jnp.concatenate(
+            [part_ids, jnp.full((b, k, 1), cfg.eos, part_ids.dtype)], axis=-1
+        )
+        cand_dec = jnp.concatenate(
+            [dec_top, dec_logp[..., cfg.eos][..., None]], axis=-1
+        )
+        weighted = w_dec * cand_dec  # (B, K, S'+1)
         if use_ctc:
-            _, part_ids = jax.lax.top_k(dec_logp, cfg.pre_beam_size)
-            delta, log_psi, r_cands = ctc_prefix.score(
-                log_probs, xlen, st.ctc, part_ids, cfg.eos, cfg.blank
-            )
-            weighted = weighted + w_ctc * delta
-        weighted = weighted + st.score[:, None]
-        weighted = jnp.where(st.alive[:, None], weighted, NEG)
+            psi_cand, psi_eos, r_cands = jax.vmap(
+                ctc_prefix.score_candidates, in_axes=(0, 0, 0, 0, None, None)
+            )(log_probs, xlens, st.ctc, part_ids, cfg.eos, cfg.blank)
+            psi_all = jnp.concatenate([psi_cand, psi_eos[..., None]], axis=-1)
+            weighted = weighted + w_ctc * (psi_all - st.ctc.s[..., None])
+            # blank is never selectable (psi LOG_ZERO already enforces this)
+        # dedup: if eos appeared in part_ids, mask the explicit eos slot
+        eos_dup = (part_ids == cfg.eos).any(axis=-1)  # (B, K)
+        weighted = weighted.at[..., -1].set(
+            jnp.where(eos_dup, NEG, weighted[..., -1])
+        )
+        weighted = weighted + st.score[..., None]
+        weighted = jnp.where(st.alive[..., None], weighted, NEG)
 
-        # 3. flat top-k over (K, V)
-        top_scores, top_idx = jax.lax.top_k(weighted.reshape(-1), k)
-        prev = top_idx // v
-        token = (top_idx % v).astype(jnp.int32)
+        # 3. per-utterance flat top-k over (K, S'+1) candidates
+        top_scores, top_idx = jax.lax.top_k(weighted.reshape(b, k * n_cand), k)
+        prev = top_idx // n_cand  # (B, K)
+        slot = top_idx % n_cand
+        token = jnp.take_along_axis(
+            cand_tokens.reshape(b, k * n_cand), top_idx, axis=1
+        ).astype(jnp.int32)
 
-        # 4. gather successor states. Only the self-attention caches are
-        # beam-dependent; src K/V are identical across slots (skipping their
-        # gather halves the per-step HBM traffic).
-        yseq = st.yseq[prev].at[:, i + 1].set(token)
+        # 4. gather successor states. Caches are updated unconditionally —
+        # finished lanes overwrite garbage that is never read again; only the
+        # small recording state below is masked by lane_active.
+        yseq = jnp.take_along_axis(st.yseq, prev[..., None], axis=1)
+        yseq = yseq.at[..., i + 1].set(token)
+        flat_prev = (jnp.arange(b)[:, None] * k + prev).reshape(-1)
         cache = cache._replace(
-            self_k=cache.self_k[:, prev], self_v=cache.self_v[:, prev]
+            self_k=cache.self_k[:, flat_prev], self_v=cache.self_v[:, flat_prev]
         )
         if use_ctc:
-            ctc_state = ctc_prefix.select(
-                st.ctc, log_psi, r_cands, part_ids, prev, token
+            psi_sel = jnp.take_along_axis(
+                psi_all.reshape(b, k * n_cand), top_idx, axis=1
+            )
+            ctc_state = jax.vmap(ctc_prefix.select_candidates)(
+                st.ctc, psi_sel, r_cands, prev, slot, token
             )
         else:
-            ctc_state = st.ctc
+            ctc_state = st.ctc._replace(out_len=st.ctc.out_len + 1)
 
         # 5. retire ended hypotheses (natural eos, or forced at the last step)
-        forced = i >= xlen - 1
-        is_eos = token == cfg.eos
-        ended = jnp.logical_or(is_eos, forced)
+        forced = i >= xlens - 1  # (B,)
+        is_eos = token == cfg.eos  # (B, K)
+        ended = jnp.logical_and(
+            jnp.logical_or(is_eos, forced[:, None]), lane_active[:, None]
+        )
         # the final step appends eos to every hyp, even after a natural eos
         # (beam_search.py:436-441 / batch_beam_search.py:321-337)
-        yseq = yseq.at[:, i + 2].set(
-            jnp.where(forced, cfg.eos, yseq[:, i + 2])
+        yseq = yseq.at[..., i + 2].set(
+            jnp.where(forced[:, None], cfg.eos, yseq[..., i + 2])
         )
-        hyp_len = jnp.where(forced, i + 3, i + 2)  # scalar; incl. sos and eos
+        hyp_len = jnp.where(forced, i + 3, i + 2)  # (B,) incl. sos and eos
 
-        ended_scores = jnp.where(ended, top_scores, NEG)
-        step_best = jnp.max(ended_scores)
-        n_ended = ended.sum()
-        ended_best = st.ended_best.at[i].set(
-            jnp.maximum(st.ended_best[i], step_best)
-        )
-        ended_cnt = st.ended_cnt.at[i].add(n_ended)
+        ended_scores = jnp.where(ended, top_scores, NEG)  # (B, K)
+        step_best = ended_scores.max(axis=1)  # (B,)
+        ended_best = st.ended_best.at[:, i].max(step_best)
+        ended_cnt = st.ended_cnt.at[:, i].add(ended.sum(axis=1))
 
-        best_slot = jnp.argmax(ended_scores)
-        better = step_best > st.best_score
+        best_slot = jnp.argmax(ended_scores, axis=1)  # (B,)
+        better = jnp.logical_and(step_best > st.best_score, lane_active)
         best_score = jnp.where(better, step_best, st.best_score)
-        best_yseq = jnp.where(better, yseq[best_slot], st.best_yseq)
+        picked = jnp.take_along_axis(yseq, best_slot[:, None, None], axis=1)[:, 0]
+        best_yseq = jnp.where(better[:, None], picked, st.best_yseq)
         best_len = jnp.where(better, hyp_len, st.best_len)
 
-        alive = jnp.logical_not(ended)
+        alive = jnp.logical_and(jnp.logical_not(ended), lane_active[:, None])
         score = jnp.where(alive, top_scores, NEG)
+        # freeze small state on finished lanes
+        yseq = jnp.where(lane_active[:, None, None], yseq, st.yseq)
+        score = jnp.where(lane_active[:, None], score, st.score)
+        alive = jnp.where(lane_active[:, None], alive, st.alive)
 
         # 6. end detection (e2e_asr_common.py:18): M consecutive recent
         # lengths whose best ended score trails the global best by > 10.
         def m_term(m):
             j = i - m - 2
-            ok = jnp.logical_and(j >= 0, st.ended_cnt[jnp.maximum(j, 0)] > 0)
-            worse = st.ended_best[jnp.maximum(j, 0)] - best_score < D_END
+            jc = jnp.maximum(j, 0)
+            ok = jnp.logical_and(j >= 0, st.ended_cnt[:, jc] > 0)
+            worse = st.ended_best[:, jc] - best_score < D_END
             return jnp.logical_and(ok, worse).astype(jnp.int32)
 
         count = m_term(0) + m_term(1) + m_term(2)
-        stop = jnp.logical_or(count >= M_END, jnp.logical_not(alive.any()))
+        newly_stopped = jnp.logical_or(count >= M_END, ~alive.any(axis=1))
+        stop = jnp.logical_or(st.stop, jnp.logical_and(newly_stopped, lane_active))
 
         return BeamState(
             i=i + 1,
@@ -201,6 +247,22 @@ def beam_search(
 
     final = jax.lax.while_loop(cond, body, init)
     return final.best_yseq, final.best_len, final.best_score
+
+
+def beam_search(
+    cfg: BeamSearchConfig,
+    decoder_step: Callable,
+    decoder_init: Callable,
+    feats: jax.Array,  # (S, D)
+    ctc_log_probs: jax.Array,  # (S, V)
+    xlen: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Single-utterance wrapper over the batched search."""
+    yseqs, lens, scores = beam_search_batched(
+        cfg, decoder_step, decoder_init,
+        feats[None], ctc_log_probs[None], jnp.asarray(xlen)[None],
+    )
+    return yseqs[0], lens[0], scores[0]
 
 
 def greedy_ctc(log_probs: jax.Array, xlen: jax.Array, blank: int = 0):

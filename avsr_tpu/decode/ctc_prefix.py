@@ -40,6 +40,27 @@ class CTCPrefixState(NamedTuple):
     out_len: jax.Array  # scalar int32: generated tokens so far (excl. sos)
 
 
+def _cumlogsumexp(x: jax.Array, axis: int = 0) -> jax.Array:
+    """Cumulative logsumexp as an associative scan over (max, scaled-sum) pairs.
+
+    lax.cumlogsumexp lowers to an O(T*window) reduce-window on TPU; the
+    logsumexp monoid under lax.associative_scan is O(log T) depth of cheap
+    elementwise ops and keeps prefix-local precision (each prefix is shifted
+    by its own running max).
+    """
+
+    def combine(a, b):
+        (ma, sa), (mb, sb) = a, b
+        m = jnp.maximum(ma, mb)
+        # guard -inf - -inf when both sides are empty (-inf max)
+        safe = jnp.maximum(m, -3.0e38)
+        s = sa * jnp.exp(ma - safe) + sb * jnp.exp(mb - safe)
+        return m, s
+
+    m, s = jax.lax.associative_scan(combine, (x, jnp.ones_like(x)), axis=axis)
+    return jnp.log(jnp.maximum(s, 1e-37)) + m
+
+
 def pad_log_probs(log_probs: jax.Array, xlen: jax.Array, blank: int = 0) -> jax.Array:
     """Set frames beyond xlen to [blank: 0, others: LOG_ZERO] (reference :47-50)."""
     t = log_probs.shape[0]
@@ -65,7 +86,7 @@ def init_state(log_probs: jax.Array, beam: int, sos: int) -> CTCPrefixState:
     )
 
 
-def score(
+def score_candidates(
     log_probs: jax.Array,  # (T, V) padded
     xlen: jax.Array,  # scalar int32 true length
     state: CTCPrefixState,
@@ -73,11 +94,17 @@ def score(
     eos: int,
     blank: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Score candidate extensions of each prefix.
+    """Score the pre-beam candidate extensions of each prefix.
+
+    Candidate-space form of the reference scorer: tokens outside part_ids
+    score ~LOG_ZERO and can never win the beam, so only (K, S) candidate
+    columns (+ the always-scored eos) are ever computed — no (K, V) scatter,
+    no full-vocab top-k downstream.
 
     Returns:
-      delta:    (K, V) log psi(h+c) - log psi(h), LOG_ZERO-ish off part_ids
-      log_psi:  (K, V) absolute prefix scores (for state selection)
+      psi_cand: (K, S) absolute prefix scores at part_ids (eos/blank
+                overrides applied)
+      psi_eos:  (K,) absolute prefix-terminal score for eos
       r_cands:  (K, S, T, 2) forward probs of each candidate extension
     """
     t_max, v = log_probs.shape
@@ -107,7 +134,7 @@ def score(
         phi_m1 - cum_x_m1,
         jnp.where(init_here[:, None, None], 0.0, -jnp.inf),
     )
-    r_n = cum_x + jax.lax.cumlogsumexp(u, axis=0)  # (T, K, S)
+    r_n = cum_x + _cumlogsumexp(u, axis=0)  # (T, K, S)
     r_n = jnp.maximum(r_n, LOG_ZERO)
 
     # r_b[t] = cumB[t] + LSE_j<=t (r_n[j-1] - cumB[j-1]), j >= start
@@ -119,7 +146,7 @@ def score(
         r_n_m1 - cum_b_m1[:, None, None],
         -jnp.inf,
     )
-    r_b = cum_b[:, None, None] + jax.lax.cumlogsumexp(vterm, axis=0)
+    r_b = cum_b[:, None, None] + _cumlogsumexp(vterm, axis=0)
     r_b = jnp.maximum(r_b, LOG_ZERO)
 
     # log psi = LSE(r_n[start-1], LSE_{t in [start, T)} phi[t-1] + x[t])
@@ -133,17 +160,39 @@ def score(
         jax.scipy.special.logsumexp(psi_terms, axis=0), init_term
     )  # (K, S)
 
-    # scatter candidates into the full vocab, fill rest with LOG_ZERO
-    full = jnp.full((k, v), LOG_ZERO, jnp.float32)
-    rows = jnp.arange(k)[:, None]
-    full = full.at[rows, part_ids].set(log_psi_c)
     # eos always scores the prefix-terminal probability r_sum[xlen-1]
-    full = full.at[:, eos].set(r_sum[xlen - 1])
-    full = full.at[:, blank].set(LOG_ZERO)
+    psi_eos = r_sum[xlen - 1]  # (K,)
+    psi_cand = jnp.where(part_ids == eos, psi_eos[:, None], log_psi_c)
+    psi_cand = jnp.where(part_ids == blank, LOG_ZERO, psi_cand)
 
-    delta = full - state.s[:, None]
     r_cands = jnp.stack([r_n, r_b], axis=-1)  # (T, K, S, 2)
     r_cands = jnp.transpose(r_cands, (1, 2, 0, 3))  # (K, S, T, 2)
+    return psi_cand, psi_eos, r_cands
+
+
+def score(
+    log_probs: jax.Array,
+    xlen: jax.Array,
+    state: CTCPrefixState,
+    part_ids: jax.Array,
+    eos: int,
+    blank: int = 0,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Full-vocab view of score_candidates (reference-shaped, for parity tests).
+
+    Returns (delta (K, V), log_psi (K, V), r_cands (K, S, T, 2)).
+    """
+    k, _ = part_ids.shape
+    v = log_probs.shape[1]
+    psi_cand, psi_eos, r_cands = score_candidates(
+        log_probs, xlen, state, part_ids, eos, blank
+    )
+    full = jnp.full((k, v), LOG_ZERO, jnp.float32)
+    rows = jnp.arange(k)[:, None]
+    full = full.at[rows, part_ids].set(psi_cand)
+    full = full.at[:, eos].set(psi_eos)
+    full = full.at[:, blank].set(LOG_ZERO)
+    delta = full - state.s[:, None]
     return delta, full, r_cands
 
 
@@ -165,6 +214,25 @@ def select(
     return CTCPrefixState(
         r=r_new,
         s=s_new,
+        last=token.astype(jnp.int32),
+        out_len=state.out_len + 1,
+    )
+
+
+def select_candidates(
+    state: CTCPrefixState,
+    psi_sel: jax.Array,  # (K',) absolute scores of the selections
+    r_cands: jax.Array,  # (K, S, T, 2)
+    prev: jax.Array,  # (K',) selected source-hyp indices
+    slot: jax.Array,  # (K',) candidate slot (clamped to S-1 for the eos slot)
+    token: jax.Array,  # (K',) selected token ids
+) -> CTCPrefixState:
+    """Candidate-space state selection (slot already resolved by the beam)."""
+    s_max = r_cands.shape[1]
+    r_new = r_cands[prev, jnp.minimum(slot, s_max - 1)]
+    return CTCPrefixState(
+        r=r_new,
+        s=psi_sel,
         last=token.astype(jnp.int32),
         out_len=state.out_len + 1,
     )

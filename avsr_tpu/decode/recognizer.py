@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from avsr_tpu.core.config import AVHubertAVSRConfig
-from avsr_tpu.decode.beam import BeamSearchConfig, beam_search, greedy_ctc
+from avsr_tpu.decode.beam import BeamSearchConfig, beam_search_batched, greedy_ctc
 from avsr_tpu.models.e2e import AVSRModel
 
 
@@ -98,8 +98,9 @@ class Recognizer:
                         variables, memory, maxlen, method="decoder_init"
                     )
 
-                single = functools.partial(beam_search, bcfg, dec_step, dec_init)
-                return jax.vmap(single, in_axes=(0, 0, 0))(feats, ctc_logp, xlens)
+                return beam_search_batched(
+                    bcfg, dec_step, dec_init, feats, ctc_logp, xlens
+                )
 
             self._beam_cache["fn"] = run
         return self._beam_cache["fn"]

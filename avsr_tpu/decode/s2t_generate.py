@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from avsr_tpu.decode.beam import BeamSearchConfig, beam_search
+from avsr_tpu.decode.beam import BeamSearchConfig, beam_search_batched
 from avsr_tpu.models.av2text import AV2TextModel
 
 
@@ -47,11 +47,12 @@ class S2TGenerator:
             def dec_init(mem, maxlen):
                 return model_.apply(variables, mem, maxlen, method="decoder_init")
 
-            dummy_ctc = jnp.zeros(memory.shape[1:2] + (self.bcfg.vocab,), jnp.float32)
-            single = functools.partial(beam_search, self.bcfg, dec_step, dec_init)
-            return jax.vmap(
-                lambda m, l: single(m, dummy_ctc, l), in_axes=(0, 0)
-            )(memory, lengths)
+            dummy_ctc = jnp.zeros(
+                memory.shape[:2] + (self.bcfg.vocab,), jnp.float32
+            )
+            return beam_search_batched(
+                self.bcfg, dec_step, dec_init, memory, dummy_ctc, lengths
+            )
 
         self._run = run
 

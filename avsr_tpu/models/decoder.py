@@ -167,6 +167,33 @@ class DecoderLayer(nn.Module):
         return x, self_k, self_v
 
 
+class _ScanDecoderLayer(DecoderLayer):
+    """DecoderLayer with lax.scan-compatible method signatures.
+
+    All three code paths (teacher-forced forward, src-K/V precompute,
+    incremental step) scan one compiled layer body over stacked parameters —
+    essential for decode latency, where the while-loop body's op count is the
+    floor.
+    """
+
+    def fwd(self, x, _scanned, extras):
+        tgt_mask, memory, memory_mask, deterministic = extras
+        y = DecoderLayer.__call__(self, x, tgt_mask, memory, memory_mask, deterministic)
+        return y, jnp.zeros((1,), x.dtype)
+
+    def src_kv(self, carry, _scanned, memory):
+        k, v = self.src_attn.project_kv(memory, memory)
+        return carry, (k, v)
+
+    def step_scan(self, x_t, scanned, extras):
+        self_k, self_v, src_k, src_v = scanned
+        pos, memory_mask = extras
+        x, new_k, new_v = DecoderLayer.step(
+            self, x_t, pos, self_k, self_v, src_k, src_v, memory_mask
+        )
+        return x, (new_k, new_v)
+
+
 class DecoderCache(NamedTuple):
     """Fixed-shape decode state: per-layer self K/V + precomputed src K/V."""
 
@@ -190,10 +217,19 @@ class TransformerDecoder(nn.Module):
 
     def setup(self):
         self.embed = nn.Embed(self.odim, self.dim)
-        self.blocks = [
-            DecoderLayer(self.dim, self.heads, self.units, self.dropout, self.attn_dropout)
-            for _ in range(self.layers)
-        ]
+        # unroll: a nested lax.scan inside the beam's while-loop body costs
+        # more in loop machinery than it saves; unrolled-with-stacked-params
+        # keeps the compile-time win without the runtime hit
+        self.blocks = nn.scan(
+            _ScanDecoderLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(0, nn.broadcast),
+            out_axes=0,
+            length=self.layers,
+            unroll=self.layers,
+            methods=("fwd", "src_kv", "step_scan"),
+        )(self.dim, self.heads, self.units, self.dropout, self.attn_dropout)
         self.after_norm = nn.LayerNorm(epsilon=LN_EPS)
         self.output_layer = nn.Dense(self.odim)
         self.pos_drop = nn.Dropout(self.dropout)
@@ -202,6 +238,9 @@ class TransformerDecoder(nn.Module):
         x = self.embed(ys) * math.sqrt(self.dim)
         pe = sinusoidal_pe(ys.shape[-1], self.dim, x.dtype)
         return self.pos_drop(x + pe, deterministic=deterministic)
+
+    def _dummy_scan_input(self, dtype):
+        return jnp.zeros((self.layers, 1), dtype)
 
     def __call__(
         self,
@@ -212,8 +251,10 @@ class TransformerDecoder(nn.Module):
         deterministic: bool = True,
     ) -> jax.Array:
         x = self._embed(ys_in, deterministic)
-        for blk in self.blocks:
-            x = blk(x, tgt_mask, memory, memory_mask, deterministic)
+        x, _ = self.blocks.fwd(
+            x, self._dummy_scan_input(x.dtype),
+            (tgt_mask, memory, memory_mask, deterministic),
+        )
         return self.output_layer(self.after_norm(x))
 
     def init_cache(self, memory: jax.Array, maxlen: Optional[int] = None) -> DecoderCache:
@@ -221,18 +262,11 @@ class TransformerDecoder(nn.Module):
         maxlen = maxlen or self.max_decode_len
         b = memory.shape[0]
         dh = self.dim // self.heads
-        src_k, src_v = [], []
-        for blk in self.blocks:
-            k, v = blk.src_attn.project_kv(memory, memory)
-            src_k.append(k)
-            src_v.append(v)
-        zeros = jnp.zeros((self.layers, b, maxlen, self.heads, dh), memory.dtype)
-        return DecoderCache(
-            self_k=zeros,
-            self_v=zeros,
-            src_k=jnp.stack(src_k),
-            src_v=jnp.stack(src_v),
+        _, (src_k, src_v) = self.blocks.src_kv(
+            jnp.zeros((1,), memory.dtype), self._dummy_scan_input(memory.dtype), memory
         )
+        zeros = jnp.zeros((self.layers, b, maxlen, self.heads, dh), memory.dtype)
+        return DecoderCache(self_k=zeros, self_v=zeros, src_k=src_k, src_v=src_v)
 
     def step(
         self,
@@ -245,15 +279,12 @@ class TransformerDecoder(nn.Module):
         x = self.embed(y_t)[:, None, :] * math.sqrt(self.dim)
         pe = sinusoidal_pe(cache.self_k.shape[2], self.dim, x.dtype)
         x = x + jax.lax.dynamic_slice_in_dim(pe, pos, 1, axis=1)
-        new_k, new_v = [], []
-        for i, blk in enumerate(self.blocks):
-            x, k, v = blk.step(
-                x, pos, cache.self_k[i], cache.self_v[i],
-                cache.src_k[i], cache.src_v[i], memory_mask,
-            )
-            new_k.append(k)
-            new_v.append(v)
+        x, (new_k, new_v) = self.blocks.step_scan(
+            x,
+            (cache.self_k, cache.self_v, cache.src_k, cache.src_v),
+            (pos, memory_mask),
+        )
         y = self.after_norm(x[:, 0])
         logits = self.output_layer(y)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        return logp, cache._replace(self_k=jnp.stack(new_k), self_v=jnp.stack(new_v))
+        return logp, cache._replace(self_k=new_k, self_v=new_v)
