@@ -40,6 +40,9 @@ class AVHubertEncoderConfig:
     activation_dropout: float = 0.0
     dropout_input: float = 0.1
     layerdrop: float = 0.0
+    # Pallas flash-attention for encoder self-attention (inference path;
+    # the eager einsum path is used when attention dropout is active)
+    use_flash_attention: bool = False
 
     @property
     def fused_dim(self) -> int:
@@ -65,6 +68,8 @@ class AVHubertAVSRConfig:
     lsm_weight: float = 0.1
     transformer_length_normalized_loss: bool = False
     mtlalpha: float = 0.1
+    # decode-time KV cache storage dtype ('float32' | 'bfloat16')
+    decoder_cache_dtype: str = "float32"
     encoder: AVHubertEncoderConfig = field(default_factory=AVHubertEncoderConfig)
 
     @property

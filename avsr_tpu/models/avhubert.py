@@ -72,12 +72,14 @@ class EncoderSelfAttention(nn.Module):
     dim: int
     heads: int
     dropout: float = 0.0
+    use_flash: bool = False
 
     @nn.compact
     def __call__(
         self,
         x: jax.Array,
         bias_mask: Optional[jax.Array],
+        padding_mask: Optional[jax.Array] = None,  # (B, T) True = valid
         deterministic: bool = True,
     ) -> jax.Array:
         d_k = self.dim // self.heads
@@ -86,9 +88,18 @@ class EncoderSelfAttention(nn.Module):
         def proj(name):
             return nn.Dense(self.dim, name=name)(x).reshape(b, t, self.heads, d_k)
 
-        q = proj("q_proj") * (d_k ** -0.5)
+        q = proj("q_proj")
         k = proj("k_proj")
         v = proj("v_proj")
+
+        if self.use_flash and (deterministic or self.dropout == 0.0):
+            from avsr_tpu.ops.pallas.flash_attention import mha_flash
+
+            out = mha_flash(q, k, v, padding_mask, scale=d_k ** -0.5)
+            out = out.reshape(b, t, self.dim)
+            return nn.Dense(self.dim, name="out_proj")(out)
+
+        q = q * (d_k ** -0.5)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k)
         if bias_mask is not None:
             scores = scores + bias_mask
@@ -108,6 +119,7 @@ class EncoderLayer(nn.Module):
         self,
         x: jax.Array,
         bias_mask: Optional[jax.Array],
+        padding_mask: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> jax.Array:
         c = self.cfg
@@ -115,8 +127,8 @@ class EncoderLayer(nn.Module):
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layer_norm")(x)
         h = EncoderSelfAttention(
             c.encoder_embed_dim, c.num_attention_heads, c.attention_dropout,
-            name="attention",
-        )(h, bias_mask, deterministic)
+            use_flash=c.use_flash_attention, name="attention",
+        )(h, bias_mask, padding_mask, deterministic)
         h = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(h)
         x = residual + h
 
@@ -134,8 +146,8 @@ class _ScanEncoderLayer(EncoderLayer):
     """EncoderLayer with a lax.scan-compatible (carry, None) signature."""
 
     @nn.compact
-    def __call__(self, x, bias_mask, deterministic=True):  # type: ignore[override]
-        return super().__call__(x, bias_mask, deterministic), None
+    def __call__(self, x, bias_mask, padding_mask=None, deterministic=True):  # type: ignore[override]
+        return super().__call__(x, bias_mask, padding_mask, deterministic), None
 
 
 class AVHubertTransformer(nn.Module):
@@ -173,10 +185,10 @@ class AVHubertTransformer(nn.Module):
             _ScanEncoderLayer,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
-            in_axes=(nn.broadcast, nn.broadcast),
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
             length=c.num_hidden_layers,
         )(c, name="layers")
-        x, _ = layers(x, bias_mask, deterministic)
+        x, _ = layers(x, bias_mask, padding_mask, deterministic)
         return nn.LayerNorm(epsilon=c.layer_norm_eps, name="final_norm")(x)
 
 

@@ -140,7 +140,7 @@ class DecoderLayer(nn.Module):
         self,
         x_t: jax.Array,  # (B, 1, D) current-position input
         pos: jax.Array,  # scalar int index
-        self_k: jax.Array,  # (B, L, H, Dh) cache
+        self_k: jax.Array,  # (B, L, H, Dh) cache (possibly bf16)
         self_v: jax.Array,
         src_k: jax.Array,  # (B, S, H, Dh) precomputed
         src_v: jax.Array,
@@ -150,8 +150,12 @@ class DecoderLayer(nn.Module):
         residual = x_t
         h = self.norm1(x_t)
         k_t, v_t = self.self_attn.project_kv(h, h)  # (B,1,H,Dh)
-        self_k = jax.lax.dynamic_update_slice_in_dim(self_k, k_t, pos, axis=1)
-        self_v = jax.lax.dynamic_update_slice_in_dim(self_v, v_t, pos, axis=1)
+        self_k = jax.lax.dynamic_update_slice_in_dim(
+            self_k, k_t.astype(self_k.dtype), pos, axis=1
+        )
+        self_v = jax.lax.dynamic_update_slice_in_dim(
+            self_v, v_t.astype(self_v.dtype), pos, axis=1
+        )
         causal = (jnp.arange(maxlen) <= pos)[None, None, :]  # (1,1,L)
         causal = jnp.broadcast_to(causal, (x_t.shape[0], 1, maxlen))
         h = self.self_attn.attend(h, self_k, self_v, causal)
@@ -214,6 +218,10 @@ class TransformerDecoder(nn.Module):
     dropout: float = 0.1
     attn_dropout: float = 0.1
     max_decode_len: int = 512
+    # decode KV-cache storage dtype; decode is cache-bandwidth-bound, so
+    # bfloat16 roughly halves the per-token cost (scores still accumulate
+    # in fp32 via mixed-precision matmuls)
+    cache_dtype: str = "float32"
 
     def setup(self):
         self.embed = nn.Embed(self.odim, self.dim)
@@ -265,8 +273,12 @@ class TransformerDecoder(nn.Module):
         _, (src_k, src_v) = self.blocks.src_kv(
             jnp.zeros((1,), memory.dtype), self._dummy_scan_input(memory.dtype), memory
         )
-        zeros = jnp.zeros((self.layers, b, maxlen, self.heads, dh), memory.dtype)
-        return DecoderCache(self_k=zeros, self_v=zeros, src_k=src_k, src_v=src_v)
+        cdtype = jnp.dtype(self.cache_dtype)
+        zeros = jnp.zeros((self.layers, b, maxlen, self.heads, dh), cdtype)
+        return DecoderCache(
+            self_k=zeros, self_v=zeros,
+            src_k=src_k.astype(cdtype), src_v=src_v.astype(cdtype),
+        )
 
     def step(
         self,

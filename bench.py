@@ -41,7 +41,8 @@ def main() -> None:
     from avsr_tpu.decode.recognizer import Recognizer
     from avsr_tpu.models.e2e import AVSRModel
 
-    cfg = AVHubertAVSRConfig()
+    cfg = AVHubertAVSRConfig(decoder_cache_dtype="bfloat16")
+    cfg.encoder.use_flash_attention = True
     model = AVSRModel(cfg)
 
     rng = np.random.RandomState(0)

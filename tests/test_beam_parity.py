@@ -201,3 +201,20 @@ def test_greedy_ctc():
     toks, n = greedy_ctc(lp, jnp.asarray(2))
     assert int(n) == 1
     assert int(toks[0]) == 1
+
+
+def test_bf16_cache_token_stability(setup):
+    """bfloat16 KV caches must not change decoded tokens on realistic inputs."""
+    tmodel, jmodel, variables, jcfg = setup
+    import dataclasses
+
+    from avsr_tpu.models.e2e import AVSRModel
+
+    cfg16 = dataclasses.replace(jcfg, decoder_cache_dtype="bfloat16")
+    jmodel16 = AVSRModel(cfg16)
+    rng = np.random.RandomState(31)
+    for seed in (1, 2):
+        x = (np.random.RandomState(seed).randn(14, 32) * 2).astype(np.float32)
+        y32, _ = _our_beam(jmodel, variables, jcfg, x)
+        y16, _ = _our_beam(jmodel16, variables, cfg16, x)
+        np.testing.assert_array_equal(y32, y16)

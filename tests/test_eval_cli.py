@@ -207,3 +207,52 @@ def test_muavic_engine(muavic_checkpoint, tmp_path):
     engine.load_model()
     out = engine.infer_processed_sample(video_path)
     assert isinstance(out, str)
+
+
+def test_mcorec_session_infer(checkpoint_dir, tmp_path):
+    """Full MCoRec session: metadata -> clustering -> per-speaker VTTs."""
+    import json
+
+    from avsr_tpu.cli.evaluation import InferenceEngine
+
+    session = tmp_path / "session"
+    out = tmp_path / "out"
+    session.mkdir()
+    metadata = {}
+    for spk in ("alice", "bob"):
+        write_fixture_video(str(session / f"{spk}.mp4"), frames=40, seed=hash(spk) % 100)
+        # alice speaks frames 0-29, bob frames 30-69 (disjoint -> same cluster)
+        base = 0 if spk == "alice" else 30
+        asd = {str(base + i): 2.0 for i in range(30)}
+        with open(session / f"{spk}_asd.json", "w") as f:
+            json.dump(asd, f)
+        with open(session / f"{spk}_crop.json", "w") as f:
+            json.dump({"start_time": 0.0}, f)
+        metadata[spk] = {
+            "central": {
+                "crops": [
+                    {
+                        "lip": f"{spk}.mp4",
+                        "asd": f"{spk}_asd.json",
+                        "crop_metadata": f"{spk}_crop.json",
+                    }
+                ],
+                "uem": {"start": 0.0, "end": 3.0},
+            }
+        }
+    with open(session / "metadata.json", "w") as f:
+        json.dump(metadata, f)
+
+    engine = InferenceEngine(
+        checkpoint_path=checkpoint_dir, beam_size=2, batch_size=2, max_length=2
+    )
+    engine.load_model()
+    engine.mcorec_session_infer(str(session), str(out))
+
+    with open(out / "speaker_to_cluster.json") as f:
+        clusters = json.load(f)
+    assert set(clusters) == {"alice", "bob"}
+    assert clusters["alice"] == clusters["bob"]  # no overlap -> same conversation
+    for spk in ("alice", "bob"):
+        content = (out / f"{spk}.vtt").read_text()
+        assert content.startswith("WEBVTT")

@@ -43,6 +43,8 @@ def _shim_torchvision():
                     out[self.return_layers[name]] = x
             return out
 
+    import importlib.machinery
+
     tv = types.ModuleType("torchvision")
     models = types.ModuleType("torchvision.models")
     utils = types.ModuleType("torchvision.models._utils")
@@ -50,9 +52,16 @@ def _shim_torchvision():
     models._utils = utils
     models.resnet50 = None
     tv.models = models
-    sys.modules["torchvision"] = tv
-    sys.modules["torchvision.models"] = models
-    sys.modules["torchvision.models._utils"] = utils
+    tv.__version__ = "0.0.0+shim"
+    # importlib.util.find_spec chokes on spec-less modules (transformers
+    # probes torchvision availability); give the shims real-looking specs
+    for name, mod in (
+        ("torchvision", tv),
+        ("torchvision.models", models),
+        ("torchvision.models._utils", utils),
+    ):
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        sys.modules[name] = mod
 
 
 def _randomize_bn(model, seed):

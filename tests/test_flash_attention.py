@@ -1,0 +1,79 @@
+"""Pallas flash attention vs eager attention parity (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from avsr_tpu.ops.pallas.flash_attention import flash_attention, mha_flash  # noqa: E402
+
+
+def eager(q, k, v, bias, scale):
+    s = jnp.einsum("ntd,nsd->nts", q * scale, k) + bias[:, None, :]
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("nts,nsd->ntd", p, v)
+
+
+def test_flash_matches_eager():
+    rng = np.random.RandomState(0)
+    n, t, d = 4, 256, 64
+    q = jnp.asarray(rng.randn(n, t, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(n, t, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(n, t, d).astype(np.float32))
+    bias = jnp.zeros((n, t), jnp.float32).at[:, 200:].set(-1e30)
+    out = flash_attention(q, k, v, bias, scale=0.125)
+    want = eager(q, k, v, bias, 0.125)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_mha_flash_with_padding():
+    rng = np.random.RandomState(1)
+    b, t, h, dh = 2, 130, 4, 64  # t not a multiple of the block -> padded
+    q = jnp.asarray(rng.randn(b, t, h, dh).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, t, h, dh).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, t, h, dh).astype(np.float32))
+    mask = jnp.asarray(np.arange(t)[None, :] < np.array([[130], [90]]))[:, :, 0] if False else jnp.asarray(np.arange(t)[None, :] < np.array([130, 90])[:, None])
+    out = mha_flash(q, k, v, mask, scale=dh ** -0.5)
+    # eager reference per head
+    bias = jnp.where(mask, 0.0, -1e30)
+
+    def per_head(qh, kh, vh):
+        return eager(qh, kh, vh, bias, dh ** -0.5)
+
+    want = jnp.stack(
+        [per_head(q[:, :, i], k[:, :, i], v[:, :, i]) for i in range(h)], axis=2
+    )
+    valid = np.asarray(mask)
+    got = np.asarray(out)
+    want = np.asarray(want)
+    for bi in range(b):
+        np.testing.assert_allclose(
+            got[bi][valid[bi]], want[bi][valid[bi]], rtol=3e-5, atol=3e-5
+        )
+
+
+def test_encoder_flash_matches_eager():
+    from avsr_tpu.core.config import AVHubertEncoderConfig
+    from avsr_tpu.models.avhubert import AVHubertTransformer
+
+    rng = np.random.RandomState(2)
+    kw = dict(
+        encoder_embed_dim=128, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+    )
+    cfg_e = AVHubertEncoderConfig(**kw)
+    cfg_f = AVHubertEncoderConfig(**kw, use_flash_attention=True)
+    x = jnp.asarray(rng.randn(2, 96, 128).astype(np.float32))
+    mask = jnp.asarray(np.arange(96)[None, :] < np.array([96, 70])[:, None])
+    m_e, m_f = AVHubertTransformer(cfg_e), AVHubertTransformer(cfg_f)
+    variables = m_e.init(jax.random.PRNGKey(0), x, mask)
+    out_e = m_e.apply(variables, x, mask)
+    out_f = m_f.apply(variables, x, mask)
+    got, want = np.asarray(out_f), np.asarray(out_e)
+    valid = np.asarray(mask)
+    for b in range(2):
+        np.testing.assert_allclose(
+            got[b][valid[b]], want[b][valid[b]], rtol=2e-4, atol=2e-4
+        )
