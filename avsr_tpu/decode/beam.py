@@ -135,7 +135,11 @@ def beam_search_batched(
         # (+ eos, which CTC always scores) can win — everything else carries a
         # w_ctc * LOG_ZERO penalty in the reference (batch_beam_search.py:236).
         n_cand = cfg.pre_beam_size + 1  # + explicit eos slot
-        dec_top, part_ids = jax.lax.top_k(dec_logp, cfg.pre_beam_size)  # (B,K,S')
+        # approx_max_k at recall 1.0 is exact and uses the TPU-optimized
+        # two-phase partial reduction (lax.top_k lowers to a slow loop)
+        dec_top, part_ids = jax.lax.approx_max_k(
+            dec_logp, cfg.pre_beam_size, recall_target=1.0
+        )  # (B, K, S')
         cand_tokens = jnp.concatenate(
             [part_ids, jnp.full((b, k, 1), cfg.eos, part_ids.dtype)], axis=-1
         )

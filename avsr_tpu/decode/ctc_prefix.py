@@ -110,7 +110,10 @@ def score_candidates(
     t_max, v = log_probs.shape
     k, s = part_ids.shape
 
-    xs = jnp.take(log_probs, part_ids, axis=1)  # (T, K, S)
+    # candidate-column gather as a one-hot matmul: tiny MXU contraction
+    # instead of a gather (TPU lowers dynamic gathers to slow loops)
+    onehot = jax.nn.one_hot(part_ids.reshape(-1), v, dtype=log_probs.dtype)
+    xs = (log_probs @ onehot.T).reshape(t_max, k, s)  # (T, K, S)
     xb = log_probs[:, blank]  # (T,)
 
     r_prev = jnp.transpose(state.r, (1, 2, 0))  # (T, 2, K)
