@@ -31,6 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-specific additions
     p.add_argument("--synthetic_dataset", action="store_true", default=False,
                    help="train on deterministic synthetic AV data (no network)")
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"],
+                   help="forward/backward dtype (fp32 master weights); the "
+                        "reference trains fp16 AMP — bfloat16 is the TPU "
+                        "equivalent")
     p.add_argument("--data_parallel", type=int, default=None,
                    help="data-mesh size (default: all devices)")
     p.add_argument("--model_parallel", type=int, default=1)
@@ -136,6 +141,7 @@ def main():
         warmup_steps=args.warmup_steps,
         max_steps=args.max_steps,
         grad_accum=args.gradient_accumulation_steps,
+        compute_dtype=args.compute_dtype,
     )
     run_training(
         model_cfg,

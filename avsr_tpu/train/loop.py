@@ -128,10 +128,10 @@ def run_training(
     )
     tx = T.make_optimizer(tcfg)
     if loop_cfg.grad_accum > 1:
-        step_fn = T.make_parallel_accum_train_step(model, tx, mesh)
+        step_fn = T.make_parallel_accum_train_step(model, tx, mesh, tcfg.compute_dtype)
         put = shard_accum_batch
     else:
-        step_fn = T.make_parallel_train_step(model, tx, mesh)
+        step_fn = T.make_parallel_train_step(model, tx, mesh, tcfg.compute_dtype)
         put = shard_batch
 
     ckpt_root = os.path.abspath(os.path.join(loop_cfg.output_dir, "checkpoints"))
@@ -142,6 +142,7 @@ def run_training(
             print(f"Resuming from {path}")
             state = T.restore_checkpoint(path, state)
 
+    state = T.replicate_state(state, mesh)
     logger = MetricsLogger(loop_cfg)
     rng = jax.random.PRNGKey(loop_cfg.seed + 1)
     window: Dict[str, list] = {}

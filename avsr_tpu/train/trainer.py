@@ -39,6 +39,10 @@ class TrainConfig:
     b1: float = 0.9
     b2: float = 0.999
     eps: float = 1e-8
+    # mixed precision: forward/backward in this dtype with fp32 master
+    # weights and fp32 optimizer state (the reference trains fp16 AMP;
+    # bfloat16 is the TPU equivalent and needs no loss scaling)
+    compute_dtype: str = "float32"
 
 
 class TrainState(NamedTuple):
@@ -125,7 +129,24 @@ def init_state(
     )
 
 
-def loss_fn(model, params, batch_stats, batch, rngs, train: bool = True):
+def _cast_floats(tree, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        tree,
+    )
+
+
+def loss_fn(model, params, batch_stats, batch, rngs, train: bool = True,
+            compute_dtype: str = "float32"):
+    if compute_dtype != "float32":
+        dt = jnp.dtype(compute_dtype)
+        params = _cast_floats(params, dt)
+        batch_stats = _cast_floats(batch_stats, dt)
+        batch = dict(batch)
+        for key in ("videos", "audios"):
+            batch[key] = batch[key].astype(dt)
     variables = {"params": params, "batch_stats": batch_stats}
     out, mutated = model.apply(
         variables,
@@ -145,10 +166,14 @@ def loss_fn(model, params, batch_stats, batch, rngs, train: bool = True):
         "acc": out.acc,
     }
     new_stats = mutated.get("batch_stats", batch_stats) if train else batch_stats
+    if train and compute_dtype != "float32":
+        # keep running statistics in fp32 across steps
+        new_stats = _cast_floats(new_stats, jnp.float32)
     return out.loss, (metrics, new_stats)
 
 
-def train_step(model, tx, state: TrainState, batch, rng):
+def train_step(model, tx, state: TrainState, batch, rng,
+               compute_dtype: str = "float32"):
     """One optimizer update; batch leading dim may include accum microbatches.
 
     batch tensors: (accum, B, ...) when grad_accum > 1 else (B, ...).
@@ -158,7 +183,8 @@ def train_step(model, tx, state: TrainState, batch, rng):
     def grads_of(p, stats, mb, key):
         rngs = {"dropout": key, "modality": jax.random.fold_in(key, 1)}
         (loss, (metrics, new_stats)), grads = jax.value_and_grad(
-            lambda pp: loss_fn(model, pp, stats, mb, rngs)
+            lambda pp: loss_fn(model, pp, stats, mb, rngs,
+                               compute_dtype=compute_dtype)
         , has_aux=True)(p)
         return grads, metrics, new_stats
 
@@ -205,7 +231,17 @@ def eval_step(model, state: TrainState, batch):
     return metrics
 
 
-def make_parallel_train_step(model, tx, mesh):
+def replicate_state(state: TrainState, mesh) -> TrainState:
+    """Place the state with the exact sharding the jitted step declares.
+
+    Avoids a second compilation on step 2 (the donated outputs otherwise come
+    back with layouts that differ from the initial host arrays').
+    """
+    repl = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, repl), state)
+
+
+def make_parallel_train_step(model, tx, mesh, compute_dtype: str = "float32"):
     """Jit the train step with data-parallel shardings over `mesh`."""
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(DATA_AXIS))
@@ -217,12 +253,12 @@ def make_parallel_train_step(model, tx, mesh):
         donate_argnums=(0,),
     )
     def step(state, batch, rng):
-        return train_step(model, tx, state, batch, rng)
+        return train_step(model, tx, state, batch, rng, compute_dtype)
 
     return step
 
 
-def make_parallel_accum_train_step(model, tx, mesh):
+def make_parallel_accum_train_step(model, tx, mesh, compute_dtype: str = "float32"):
     """Same, but batches carry a leading micro-batch (accum) dimension."""
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(None, DATA_AXIS))
@@ -234,7 +270,7 @@ def make_parallel_accum_train_step(model, tx, mesh):
         donate_argnums=(0,),
     )
     def step(state, batch, rng):
-        return train_step(model, tx, state, batch, rng)
+        return train_step(model, tx, state, batch, rng, compute_dtype)
 
     return step
 

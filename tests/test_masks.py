@@ -53,3 +53,29 @@ def test_add_sos_eos_matches_reference_layout():
     np.testing.assert_array_equal(
         np.asarray(ys_out), [[4, 5, 6, 100], [7, 100, -1, -1]]
     )
+
+
+def test_compute_mask_indices():
+    from avsr_tpu.ops.span_mask import apply_span_mask, compute_mask_indices
+
+    rng = np.random.RandomState(0)
+    mask = compute_mask_indices((4, 100), None, 0.3, 10, rng=rng)
+    assert mask.shape == (4, 100)
+    # every row masks the same number of positions (batch-min trimming)
+    counts = mask.sum(axis=1)
+    assert (counts == counts[0]).all()
+    assert 0 < counts[0] <= 60
+
+    pad = np.zeros((4, 100), bool)
+    pad[2, 60:] = True  # row 2 has only 60 valid frames
+    mask = compute_mask_indices((4, 100), pad, 0.3, 10, min_masks=2, rng=rng)
+    assert mask.shape == (4, 100)
+
+    feats = rng.randn(4, 100, 8).astype(np.float32)
+    out = apply_span_mask(feats, mask)
+    assert (out[mask] == 0).all()
+    assert np.allclose(out[~mask], feats[~mask])
+
+    emb = rng.randn(8).astype(np.float32)
+    out = apply_span_mask(feats, mask, emb)
+    assert np.allclose(out[mask], emb)
