@@ -443,6 +443,61 @@ def torch_to_flax(
     return convert_state(state, avsr_mapping(cfg, prefix), strict)
 
 
+_INVERSE = {
+    _dense: _dense,  # transpose is an involution
+    _copy: _copy,
+}
+
+
+def _inverse_transform(transform):
+    if transform in _INVERSE:
+        return _INVERSE[transform]
+    if transform is _conv2d:
+        return lambda w: np.ascontiguousarray(np.transpose(w, (3, 2, 0, 1)))
+    if transform is _conv3d:
+        return lambda w: np.ascontiguousarray(np.transpose(w, (4, 3, 0, 1, 2)))
+    if transform is _conv1d:
+        return lambda w: np.ascontiguousarray(np.transpose(w, (2, 1, 0)))
+    raise ValueError(f"no inverse for transform {transform}")
+
+
+def flax_to_torch(variables: Dict[str, Any], mapping) -> Dict[str, np.ndarray]:
+    """Export flax variables back to a torch-layout state dict.
+
+    The exact inverse of convert_state over the same mapping table, so saved
+    checkpoints load into the reference implementation unchanged.
+    """
+
+    def lookup(tree, path):
+        node = tree
+        for p in path:
+            node = node[p]
+        return np.asarray(node)
+
+    state: Dict[str, np.ndarray] = {}
+    for tkey, fpath, transform, coll in mapping:
+        tree = variables["params"] if coll == "p" else variables["batch_stats"]
+        inv = _inverse_transform(transform)
+        arr = lookup(tree, fpath)
+        if isinstance(tkey, list):  # stacked scanned layers -> unstack
+            for i, k in enumerate(tkey):
+                state[k] = inv(arr[i])
+        else:
+            state[tkey] = inv(arr)
+    return state
+
+
+def save_pretrained(model_dir: str, cfg: AVHubertAVSRConfig,
+                    variables: Dict[str, Any], prefix: str = "avsr.") -> None:
+    """Write an HF-style dir (config.json + model.safetensors, torch layout)."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(model_dir, exist_ok=True)
+    cfg.to_json(os.path.join(model_dir, "config.json"))
+    state = flax_to_torch(variables, avsr_mapping(cfg, prefix))
+    save_file(state, os.path.join(model_dir, "model.safetensors"))
+
+
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Load a state dict from a safetensors file/dir or a torch .pth/.bin."""
     if os.path.isdir(path):

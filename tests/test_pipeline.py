@@ -66,7 +66,7 @@ def test_run_training_synthetic(tmp_path):
     loop_cfg = LoopConfig(
         output_dir=str(tmp_path),
         max_steps=3,
-        batch_size=8,
+        batch_size=1,  # per data-parallel device (8 virtual) -> global 8
         grad_accum=1,
         save_steps=2,
         eval_steps=2,

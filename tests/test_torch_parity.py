@@ -173,3 +173,25 @@ def test_decoder_step_parity(parity_setup):
 
     for a, b in zip(j_logps, t_logps):
         np.testing.assert_allclose(a, b, **TOL)
+
+
+def test_checkpoint_roundtrip_export(parity_setup, tmp_path):
+    """flax -> torch-safetensors export loads back bit-identically."""
+    from avsr_tpu.core.checkpoint import load_pretrained, save_pretrained
+
+    from tests.torch_ref import tiny_jax_config
+
+    tmodel, jmodel, variables, video_t, audio_t = parity_setup
+    jcfg = tiny_jax_config()
+    d = str(tmp_path / "export")
+    save_pretrained(d, jcfg, variables)
+
+    cfg2, variables2 = load_pretrained(d)
+    assert cfg2.odim == jcfg.odim and cfg2.dlayers == jcfg.dlayers
+    flat1 = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    flat2 = {
+        jax.tree_util.keystr(p): v
+        for p, v in jax.tree_util.tree_flatten_with_path(variables2["params"])[0]
+    }
+    for p, v in flat1:
+        np.testing.assert_array_equal(np.asarray(v), flat2[jax.tree_util.keystr(p)])
