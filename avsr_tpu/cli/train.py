@@ -39,6 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_parallel", type=int, default=None,
                    help="data-mesh size (default: all devices)")
     p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--multihost", action="store_true", default=False,
+                   help="call jax.distributed.initialize() for multi-host "
+                        "training (each host reads its own data shards)")
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="write a jax profiler trace of steps 10-12 here")
     return p
 
 
@@ -48,6 +53,10 @@ def main():
     from avsr_tpu.core.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
 
     from avsr_tpu.core.config import AVHubertAVSRConfig
     from avsr_tpu.core.mesh import make_mesh
@@ -135,6 +144,7 @@ def main():
         log_interval=args.log_interval,
         report_to=args.report_to,
         run_name=args.checkpoint_name,
+        profile_dir=args.profile_dir,
     )
     train_cfg = TrainConfig(
         learning_rate=args.learning_rate,

@@ -38,6 +38,8 @@ class LoopConfig:
     seed: int = 0
     report_to: str = "none"  # 'none' | 'wandb' | 'tensorboard'
     run_name: str = "avsr_tpu"
+    # write a TensorBoard-viewable jax profiler trace of steps 10-12
+    profile_dir: str = ""
 
 
 def batches_from_samples(
@@ -153,9 +155,14 @@ def run_training(
         step_no = int(state.step)
         if step_no >= loop_cfg.max_steps:
             break
+        if loop_cfg.profile_dir and step_no == 10:
+            jax.profiler.start_trace(loop_cfg.profile_dir)
         state, metrics = step_fn(
             state, put(batch, mesh), jax.random.fold_in(rng, step_no)
         )
+        if loop_cfg.profile_dir and step_no == 12:
+            jax.block_until_ready(metrics)
+            jax.profiler.stop_trace()
         for k, v in metrics.items():
             window.setdefault(k, []).append(float(v))
         step_no = int(state.step)
