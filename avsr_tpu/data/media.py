@@ -165,3 +165,60 @@ def load_av(
     return load_video(path, start_time, end_time), load_audio(
         path, start_time, end_time
     )
+
+
+# --------------------------------------------------------------------------
+# writers (preprocessing outputs: trimmed crops + audio + transcripts,
+# reference retinaface/utils.py:50-103)
+# --------------------------------------------------------------------------
+
+
+def save_video(path: str, frames: np.ndarray, fps: float = 25.0) -> None:
+    """Write (T, H, W[, C]) frames as mp4 (grayscale is replicated to BGR)."""
+    import cv2
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    frames = np.asarray(frames)
+    if frames.ndim == 3:
+        frames = frames[..., None]
+    h, w = frames.shape[1:3]
+    writer = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h), isColor=True
+    )
+    if not writer.isOpened():
+        raise IOError(f"cannot open video writer for {path}")
+    for frame in frames.astype(np.uint8):
+        if frame.shape[-1] == 1:
+            frame = np.repeat(frame, 3, axis=-1)
+        writer.write(frame)
+    writer.release()
+
+
+def save_audio(path: str, wave: np.ndarray, sample_rate: int = SAMPLE_RATE) -> None:
+    """Write a float32 (T,) waveform as 16-bit PCM wav."""
+    from scipy.io import wavfile
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    pcm = np.clip(np.asarray(wave, np.float32).reshape(-1), -1.0, 1.0)
+    wavfile.write(path, sample_rate, (pcm * 32767).astype(np.int16))
+
+
+def save_vid_aud_txt(
+    vid_path: Optional[str],
+    aud_path: Optional[str],
+    txt_path: Optional[str],
+    frames: Optional[np.ndarray] = None,
+    wave: Optional[np.ndarray] = None,
+    text: Optional[str] = None,
+    fps: float = 25.0,
+    sample_rate: int = SAMPLE_RATE,
+) -> None:
+    """Write the (video, audio, transcript) triple a preprocessed segment needs."""
+    if vid_path is not None and frames is not None:
+        save_video(vid_path, frames, fps)
+    if aud_path is not None and wave is not None:
+        save_audio(aud_path, wave, sample_rate)
+    if txt_path is not None and text is not None:
+        os.makedirs(os.path.dirname(txt_path) or ".", exist_ok=True)
+        with open(txt_path, "w") as f:
+            f.write(text)
