@@ -104,7 +104,8 @@ class InferenceEngine:
         self.text_transform = TextTransform()
         self.collator = DataCollator(
             text_transform=self.text_transform,
-            video_transform=VideoTransform("test"),
+            # crops ship to the TPU as uint8; normalization happens on device
+            video_transform=VideoTransform("test", device_norm=True),
             audio_transform=AudioTransform("test"),
         )
         self.recognizer = Recognizer.from_pretrained(path, beam_size=self.beam_size)

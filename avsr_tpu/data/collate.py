@@ -64,8 +64,9 @@ class DataCollator:
         a0 = audios[0].reshape(len(audios[0]), -1)
         audio_rate = max(1, len(a0) // len(videos[0]))
         audio_dim = a0.shape[-1]
+        vdtype = videos[0].dtype if videos[0].dtype == np.uint8 else np.float32
         batch = {
-            "videos": np.zeros((b, t_max, 88, 88, 1), np.float32),
+            "videos": np.zeros((b, t_max, 88, 88, 1), vdtype),
             "audios": np.zeros((b, t_max * audio_rate, audio_dim), np.float32),
             "video_lengths": np.asarray([len(v) for v in videos], np.int32),
         }

@@ -109,14 +109,22 @@ def mix_interferers(
 
 
 class VideoTransform:
-    """(T, H, W, 1) [0,255] -> normalized (T, 88, 88, 1)."""
+    """(T, H, W, 1) [0,255] -> cropped (T, 88, 88, 1).
 
-    def __init__(self, subset: str = "test"):
+    device_norm=False matches the reference exactly (host-side /255 +
+    normalize). device_norm=True keeps the crops uint8 so the recognizer
+    ships them to the accelerator at 1/4 the bytes and normalizes there.
+    """
+
+    def __init__(self, subset: str = "test", device_norm: bool = False):
         self.train = subset == "train"
+        self.device_norm = device_norm
 
     def __call__(
         self, frames: np.ndarray, rng: Optional[np.random.RandomState] = None
     ) -> np.ndarray:
+        if self.device_norm and not self.train:
+            return center_crop(np.asarray(frames)).astype(np.uint8)
         x = frames.astype(np.float32) / 255.0
         if self.train:
             rng = rng or np.random.RandomState()

@@ -65,6 +65,12 @@ class Recognizer:
 
             @jax.jit
             def run(variables, audios, videos, lengths):
+                if videos.dtype == jnp.uint8:
+                    # crops travel host->device as uint8 (4x less transfer
+                    # over the interconnect); normalize on device
+                    from avsr_tpu.data.transforms import VIDEO_MEAN, VIDEO_STD
+
+                    videos = (videos.astype(jnp.float32) / 255.0 - VIDEO_MEAN) / VIDEO_STD
                 feats = model.apply(
                     variables, audios, videos, lengths, method="encode"
                 )
@@ -123,8 +129,9 @@ class Recognizer:
         lengths = np.asarray([len(v) for v in videos], np.int32)
         t_b = pick_bucket(self.t_buckets, int(lengths.max()))
         b = batch_pad or len(videos)
+        vdtype = np.uint8 if videos[0].dtype == np.uint8 else np.float32
         aud = np.zeros((b, t_b * self.audio_rate, self.audio_dim), np.float32)
-        vid = np.zeros((b, t_b, 88, 88, 1), np.float32)
+        vid = np.zeros((b, t_b, 88, 88, 1), vdtype)
         for i, (a, v) in enumerate(zip(audio_feats, videos)):
             a = a.reshape(-1, self.audio_dim)
             aud[i, : len(a)] = a

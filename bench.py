@@ -62,7 +62,10 @@ def main() -> None:
         model=model, variables=variables, cfg=cfg, t_buckets=(FRAMES + 2,)
     )
     feats_a = [rng.randn(t, 104).astype(np.float32) for _ in range(b)]
-    feats_v = [rng.randn(t, 88, 88, 1).astype(np.float32) for _ in range(b)]
+    # crops travel uint8 (as in the eval pipeline); normalized on device
+    feats_v = [
+        rng.randint(0, 256, size=(t, 88, 88, 1)).astype(np.uint8) for _ in range(b)
+    ]
 
     # warmup / compile
     rec.transcribe_batch(feats_a, feats_v, mode="beam")
