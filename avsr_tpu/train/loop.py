@@ -69,6 +69,24 @@ def batches_from_samples(
         yield collator(group)
 
 
+def device_prefetch(batches: Iterator[Dict[str, np.ndarray]], put, mesh, depth: int = 2):
+    """Overlap host collation/transfer with device compute.
+
+    Keeps `depth` batches in flight on device (double buffering by default):
+    while the TPU runs step N, batch N+1 is already being collated and
+    transferred (SURVEY §7: input-pipeline overlap).
+    """
+    import collections
+
+    queue = collections.deque()
+    for batch in batches:
+        queue.append(put(batch, mesh))
+        if len(queue) >= depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 class MetricsLogger:
     def __init__(self, cfg: LoopConfig):
         self.cfg = cfg
@@ -151,14 +169,15 @@ def run_training(
 
     import itertools
 
-    for batch in itertools.chain([first], batches):
+    prefetched = device_prefetch(itertools.chain([first], batches), put, mesh)
+    for device_batch in prefetched:
         step_no = int(state.step)
         if step_no >= loop_cfg.max_steps:
             break
         if loop_cfg.profile_dir and step_no == 10:
             jax.profiler.start_trace(loop_cfg.profile_dir)
         state, metrics = step_fn(
-            state, put(batch, mesh), jax.random.fold_in(rng, step_no)
+            state, device_batch, jax.random.fold_in(rng, step_no)
         )
         if loop_cfg.profile_dir and step_no == 12:
             jax.block_until_ready(metrics)
