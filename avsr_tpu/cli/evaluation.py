@@ -99,7 +99,9 @@ class InferenceEngine:
             self._load_muavic(path)
 
     def _load_avsr_cocktail(self, path: str):
+        from avsr_tpu.core.checkpoint import load_pretrained
         from avsr_tpu.decode.recognizer import Recognizer
+        from avsr_tpu.models.e2e import AVSRModel
 
         self.text_transform = TextTransform()
         self.collator = DataCollator(
@@ -108,7 +110,19 @@ class InferenceEngine:
             video_transform=VideoTransform("test", device_norm=True),
             audio_transform=AudioTransform("test"),
         )
-        self.recognizer = Recognizer.from_pretrained(path, beam_size=self.beam_size)
+        import jax
+
+        cfg, variables = load_pretrained(path)
+        cfg.decoder_cache_dtype = self.model_kwargs.get(
+            "decoder_cache_dtype", "bfloat16"
+        )
+        cfg.encoder.use_flash_attention = self.model_kwargs.get(
+            "use_flash_attention", jax.default_backend() == "tpu"
+        )
+        self.recognizer = Recognizer(
+            model=AVSRModel(cfg), variables=variables, cfg=cfg,
+            beam_size=self.beam_size,
+        )
         self._decode_tokens = lambda toks: self.text_transform.post_process(
             toks
         ).replace("<eos>", "")
