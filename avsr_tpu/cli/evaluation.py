@@ -236,6 +236,7 @@ class InferenceEngine:
     def infer_samples(self, samples: List[Dict]) -> List[str]:
         """Decode a list of segment samples; returns transcripts."""
         outputs = []
+        pending = None
         for lo in range(0, len(samples), self.batch_size):
             chunk = samples[lo : lo + self.batch_size]
             feats = self._features(chunk)
@@ -257,10 +258,16 @@ class InferenceEngine:
                 continue
             auds = [np.asarray(a)[: l * self.recognizer.audio_rate] for a, _, l in feats]
             vids = [np.asarray(v)[:l] for _, v, l in feats]
-            token_batches = self.recognizer.transcribe_batch(
+            # pipelined dispatch: the next chunk collates/transfers while
+            # this one decodes on device
+            nxt = self.recognizer.transcribe_batch_async(
                 auds, vids, mode=self.mode, batch_pad=self.batch_size
             )
-            outputs.extend(self._decode_tokens(toks) for toks in token_batches)
+            if pending is not None:
+                outputs.extend(self._decode_tokens(t) for t in pending.result())
+            pending = nxt
+        if pending is not None:
+            outputs.extend(self._decode_tokens(t) for t in pending.result())
         return outputs
 
     def infer_processed_sample(self, video) -> str:

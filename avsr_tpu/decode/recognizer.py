@@ -142,6 +142,24 @@ class Recognizer:
         lens[len(videos):] = 1
         return jnp.asarray(aud), jnp.asarray(vid), jnp.asarray(lens), len(videos)
 
+    def transcribe_batch_async(
+        self,
+        audio_feats: List[np.ndarray],
+        videos: List[np.ndarray],
+        mode: str = "beam",
+        batch_pad: Optional[int] = None,
+    ) -> "_PendingBatch":
+        """Dispatch a batch without blocking (jax dispatch is async): the
+        caller can collate/transfer the next batch while this one decodes.
+        """
+        aud, vid, lens, n = self._pad_batch(audio_feats, videos, batch_pad)
+        feats, ctc_logp = self._encode_fn()(self.variables, aud, vid, lens)
+        if mode == "greedy":
+            toks, tlens = self._greedy_fn()(ctc_logp, lens)
+            return _PendingBatch(self, "greedy", n, (toks, tlens))
+        outs = self._beam_fn()(self.variables, feats, ctc_logp, lens)
+        return _PendingBatch(self, "beam", n, outs)
+
     def transcribe_batch(
         self,
         audio_feats: List[np.ndarray],
@@ -150,22 +168,35 @@ class Recognizer:
         batch_pad: Optional[int] = None,
     ) -> List[np.ndarray]:
         """Decode a batch; returns per-utterance token ids (no sos/eos)."""
-        aud, vid, lens, n = self._pad_batch(audio_feats, videos, batch_pad)
-        feats, ctc_logp = self._encode_fn()(self.variables, aud, vid, lens)
-        if mode == "greedy":
-            toks, tlens = self._greedy_fn()(ctc_logp, lens)
-            toks, tlens = np.asarray(toks), np.asarray(tlens)
-            return [toks[i, : tlens[i]] for i in range(n)]
-        yseqs, ylens, _scores = self._beam_fn()(self.variables, feats, ctc_logp, lens)
-        yseqs, ylens = np.asarray(yseqs), np.asarray(ylens)
-        out = []
-        for i in range(n):
-            seq = yseqs[i, 1 : ylens[i]]  # strip sos
-            seq = seq[seq != self.cfg.eos]  # strip eos (incl. forced double)
-            out.append(seq)
-        return out
+        return self.transcribe_batch_async(
+            audio_feats, videos, mode, batch_pad
+        ).result()
 
     def transcribe(
         self, audio_feats: np.ndarray, video: np.ndarray, mode: str = "beam"
     ) -> np.ndarray:
         return self.transcribe_batch([audio_feats], [video], mode=mode)[0]
+
+
+class _PendingBatch:
+    """In-flight decode result; .result() blocks and post-processes."""
+
+    def __init__(self, rec: Recognizer, mode: str, n: int, arrays):
+        self.rec = rec
+        self.mode = mode
+        self.n = n
+        self.arrays = arrays
+
+    def result(self) -> List[np.ndarray]:
+        if self.mode == "greedy":
+            toks, tlens = self.arrays
+            toks, tlens = np.asarray(toks), np.asarray(tlens)
+            return [toks[i, : tlens[i]] for i in range(self.n)]
+        yseqs, ylens, _scores = self.arrays
+        yseqs, ylens = np.asarray(yseqs), np.asarray(ylens)
+        out = []
+        for i in range(self.n):
+            seq = yseqs[i, 1 : ylens[i]]  # strip sos
+            seq = seq[seq != self.rec.cfg.eos]  # strip eos (incl. forced double)
+            out.append(seq)
+        return out

@@ -70,9 +70,16 @@ def main() -> None:
     # warmup / compile
     rec.transcribe_batch(feats_a, feats_v, mode="beam")
 
+    # pipelined: dispatch batch i+1 while batch i decodes (async dispatch
+    # hides host collation + transfer under device compute)
     start = time.perf_counter()
+    pending = None
     for _ in range(ITERS):
-        rec.transcribe_batch(feats_a, feats_v, mode="beam")
+        nxt = rec.transcribe_batch_async(feats_a, feats_v, mode="beam")
+        if pending is not None:
+            pending.result()
+        pending = nxt
+    pending.result()
     elapsed = time.perf_counter() - start
 
     audio_sec = BATCH * SEGMENT_SECONDS * ITERS
