@@ -176,9 +176,12 @@ def beam_search_batched(
         yseq = jnp.take_along_axis(st.yseq, prev[..., None], axis=1)
         yseq = yseq.at[..., i + 1].set(token)
         flat_prev = (jnp.arange(b)[:, None] * k + prev).reshape(-1)
-        cache = cache._replace(
-            self_k=cache.self_k[:, flat_prev], self_v=cache.self_v[:, flat_prev]
-        )
+        if hasattr(cache, "self_kv"):
+            cache = cache._replace(self_kv=cache.self_kv[:, flat_prev])
+        else:  # S2TDecoderCache keeps separate K/V
+            cache = cache._replace(
+                self_k=cache.self_k[:, flat_prev], self_v=cache.self_v[:, flat_prev]
+            )
         if use_ctc:
             psi_sel = jnp.take_along_axis(
                 psi_all.reshape(b, k * n_cand), top_idx, axis=1

@@ -140,25 +140,22 @@ class DecoderLayer(nn.Module):
         self,
         x_t: jax.Array,  # (B, 1, D) current-position input
         pos: jax.Array,  # scalar int index
-        self_k: jax.Array,  # (B, L, H, Dh) cache (possibly bf16)
-        self_v: jax.Array,
+        self_kv: jax.Array,  # (B, L, 2, H, Dh) fused K/V cache (possibly bf16)
         src_k: jax.Array,  # (B, S, H, Dh) precomputed
         src_v: jax.Array,
         memory_mask: Optional[jax.Array],  # (B, 1, S)
     ):
-        maxlen = self_k.shape[1]
+        maxlen = self_kv.shape[1]
         residual = x_t
         h = self.norm1(x_t)
         k_t, v_t = self.self_attn.project_kv(h, h)  # (B,1,H,Dh)
-        self_k = jax.lax.dynamic_update_slice_in_dim(
-            self_k, k_t.astype(self_k.dtype), pos, axis=1
-        )
-        self_v = jax.lax.dynamic_update_slice_in_dim(
-            self_v, v_t.astype(self_v.dtype), pos, axis=1
-        )
+        kv_t = jnp.stack([k_t, v_t], axis=2).astype(self_kv.dtype)  # (B,1,2,H,Dh)
+        self_kv = jax.lax.dynamic_update_slice_in_dim(self_kv, kv_t, pos, axis=1)
         causal = (jnp.arange(maxlen) <= pos)[None, None, :]  # (1,1,L)
         causal = jnp.broadcast_to(causal, (x_t.shape[0], 1, maxlen))
-        h = self.self_attn.attend(h, self_k, self_v, causal)
+        h = self.self_attn.attend(
+            h, self_kv[:, :, 0], self_kv[:, :, 1], causal
+        )
         x = residual + h
 
         residual = x
@@ -168,7 +165,7 @@ class DecoderLayer(nn.Module):
 
         residual = x
         x = residual + self._ffn(self.norm3(x), deterministic=True)
-        return x, self_k, self_v
+        return x, self_kv
 
 
 class _ScanDecoderLayer(DecoderLayer):
@@ -190,19 +187,22 @@ class _ScanDecoderLayer(DecoderLayer):
         return carry, (k, v)
 
     def step_scan(self, x_t, scanned, extras):
-        self_k, self_v, src_k, src_v = scanned
+        self_kv, src_k, src_v = scanned
         pos, memory_mask = extras
-        x, new_k, new_v = DecoderLayer.step(
-            self, x_t, pos, self_k, self_v, src_k, src_v, memory_mask
+        x, new_kv = DecoderLayer.step(
+            self, x_t, pos, self_kv, src_k, src_v, memory_mask
         )
-        return x, (new_k, new_v)
+        return x, new_kv
 
 
 class DecoderCache(NamedTuple):
-    """Fixed-shape decode state: per-layer self K/V + precomputed src K/V."""
+    """Fixed-shape decode state: per-layer fused self K/V + precomputed src K/V.
 
-    self_k: jax.Array  # (L, B, maxlen, H, Dh)
-    self_v: jax.Array
+    K and V live in one array so the beam reshuffle is a single gather and
+    each step writes one dynamic-update-slice per layer.
+    """
+
+    self_kv: jax.Array  # (L, B, maxlen, 2, H, Dh)
     src_k: jax.Array  # (L, B, S, H, Dh)
     src_v: jax.Array
 
@@ -274,9 +274,9 @@ class TransformerDecoder(nn.Module):
             jnp.zeros((1,), memory.dtype), self._dummy_scan_input(memory.dtype), memory
         )
         cdtype = jnp.dtype(self.cache_dtype)
-        zeros = jnp.zeros((self.layers, b, maxlen, self.heads, dh), cdtype)
+        zeros = jnp.zeros((self.layers, b, maxlen, 2, self.heads, dh), cdtype)
         return DecoderCache(
-            self_k=zeros, self_v=zeros,
+            self_kv=zeros,
             src_k=src_k.astype(cdtype), src_v=src_v.astype(cdtype),
         )
 
@@ -289,14 +289,14 @@ class TransformerDecoder(nn.Module):
     ):
         """One decode step: returns (log-probs (B, V), updated cache)."""
         x = self.embed(y_t)[:, None, :] * math.sqrt(self.dim)
-        pe = sinusoidal_pe(cache.self_k.shape[2], self.dim, x.dtype)
+        pe = sinusoidal_pe(cache.self_kv.shape[2], self.dim, x.dtype)
         x = x + jax.lax.dynamic_slice_in_dim(pe, pos, 1, axis=1)
-        x, (new_k, new_v) = self.blocks.step_scan(
+        x, new_kv = self.blocks.step_scan(
             x,
-            (cache.self_k, cache.self_v, cache.src_k, cache.src_v),
+            (cache.self_kv, cache.src_k, cache.src_v),
             (pos, memory_mask),
         )
         y = self.after_norm(x[:, 0])
         logits = self.output_layer(y)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        return logp, cache._replace(self_k=new_k, self_v=new_v)
+        return logp, cache._replace(self_kv=new_kv)
