@@ -51,6 +51,40 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def param_partition_spec(path, leaf) -> P:
+    """Tensor-parallel PartitionSpec for one parameter.
+
+    Megatron-style sharding over the 'model' axis: attention q/k/v and the
+    FFN up-projection shard their OUTPUT dim (head/hidden split); attention
+    out-proj and the FFN down-projection shard their INPUT dim, so each pair
+    needs a single all-reduce that XLA inserts automatically. Everything else
+    (norms, biases, embeddings, convs) is replicated. Scanned layer stacks
+    carry a leading layer axis (never sharded).
+    """
+    names = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
+    leafname = names[-1]
+    if leafname != "kernel" or leaf.ndim < 2:
+        return P()
+    col_split = {"q_proj", "k_proj", "v_proj", "intermediate_dense",
+                 "linear_q", "linear_k", "linear_v", "w_1", "fc1"}
+    row_split = {"out_proj", "output_dense", "linear_out", "w_2", "fc2"}
+    owner = names[-2] if len(names) >= 2 else ""
+    prefix = (None,) * (leaf.ndim - 2)
+    if owner in col_split:
+        return P(*prefix, None, MODEL_AXIS)
+    if owner in row_split:
+        return P(*prefix, MODEL_AXIS, None)
+    return P()
+
+
+def param_shardings(params, mesh: Mesh):
+    """NamedSharding pytree implementing DP + Megatron-style TP."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, param_partition_spec(path, leaf)),
+        params,
+    )
+
+
 def shard_accum_batch(batch, mesh: Mesh):
     """Device-put microbatched arrays (accum, B, ...): shard dim 1 on data."""
     sh = NamedSharding(mesh, P(None, DATA_AXIS))

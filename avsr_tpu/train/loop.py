@@ -147,11 +147,16 @@ def run_training(
         variables=pretrained_variables,
     )
     tx = T.make_optimizer(tcfg)
+    state_sh = T.train_state_shardings(state, mesh)
     if loop_cfg.grad_accum > 1:
-        step_fn = T.make_parallel_accum_train_step(model, tx, mesh, tcfg.compute_dtype)
+        step_fn = T.make_parallel_accum_train_step(
+            model, tx, mesh, tcfg.compute_dtype, state_sh
+        )
         put = shard_accum_batch
     else:
-        step_fn = T.make_parallel_train_step(model, tx, mesh, tcfg.compute_dtype)
+        step_fn = T.make_parallel_train_step(
+            model, tx, mesh, tcfg.compute_dtype, state_sh
+        )
         put = shard_batch
 
     ckpt_root = os.path.abspath(os.path.join(loop_cfg.output_dir, "checkpoints"))

@@ -237,19 +237,40 @@ def replicate_state(state: TrainState, mesh) -> TrainState:
     Avoids a second compilation on step 2 (the donated outputs otherwise come
     back with layouts that differ from the initial host arrays').
     """
-    repl = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, repl), state)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, s), state, train_state_shardings(state, mesh)
+    )
 
 
-def make_parallel_train_step(model, tx, mesh, compute_dtype: str = "float32"):
-    """Jit the train step with data-parallel shardings over `mesh`."""
+def train_state_shardings(state: TrainState, mesh) -> TrainState:
+    """Sharding pytree for the whole TrainState: data-parallel replication
+    plus Megatron-style tensor parallelism over the 'model' axis when the
+    mesh has one. Optimizer moments mirror the parameter tree, so the same
+    path-suffix rule (core/mesh.param_partition_spec) applies everywhere.
+    """
+    from avsr_tpu.core.mesh import MODEL_AXIS, param_partition_spec
+
+    if mesh.shape.get(MODEL_AXIS, 1) == 1:
+        repl = NamedSharding(mesh, P())
+        return jax.tree.map(lambda _: repl, state)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, param_partition_spec(path, leaf)),
+        state,
+    )
+
+
+def make_parallel_train_step(model, tx, mesh, compute_dtype: str = "float32",
+                             state_shardings=None):
+    """Jit the train step sharded over `mesh` (DP batch axis; TP parameter
+    axis when state_shardings carry 'model'-sharded kernels)."""
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(DATA_AXIS))
+    st_sh = state_shardings if state_shardings is not None else repl
 
     @partial(
         jax.jit,
-        in_shardings=(repl, data, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(st_sh, data, repl),
+        out_shardings=(st_sh, repl),
         donate_argnums=(0,),
     )
     def step(state, batch, rng):
@@ -258,15 +279,17 @@ def make_parallel_train_step(model, tx, mesh, compute_dtype: str = "float32"):
     return step
 
 
-def make_parallel_accum_train_step(model, tx, mesh, compute_dtype: str = "float32"):
+def make_parallel_accum_train_step(model, tx, mesh, compute_dtype: str = "float32",
+                                   state_shardings=None):
     """Same, but batches carry a leading micro-batch (accum) dimension."""
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(None, DATA_AXIS))
+    st_sh = state_shardings if state_shardings is not None else repl
 
     @partial(
         jax.jit,
-        in_shardings=(repl, data, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(st_sh, data, repl),
+        out_shardings=(st_sh, repl),
         donate_argnums=(0,),
     )
     def step(state, batch, rng):
