@@ -114,3 +114,18 @@ def test_real_model_parse():
     assert 2 in kinds  # unk present
     scored = [p for p in pieces if p.type == 1]
     assert all(p.score < 0 for p in scored[1:])
+
+
+@requires_reference
+def test_spm_tools():
+    from avsr_tpu.data.spm_tools import build_units, encode_lines
+
+    model = "/root/reference/src/tokenizer/spm/unigram/unigram5000.model"
+    lines = ["HELLO WORLD", "GOOD DAY"]
+    encoded = list(encode_lines(model, lines))
+    assert len(encoded) == 2
+    assert all(tok for tok in encoded[0].split())
+    units = build_units(model, lines)
+    assert units[0] == "<unk> 1"
+    ids = [int(u.split()[-1]) for u in units[1:]]
+    assert ids == sorted(ids) and ids[0] == 2
