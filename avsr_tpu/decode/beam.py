@@ -64,6 +64,9 @@ class BeamSearchConfig:
     eos: int = 5048
     blank: int = 0
     vocab: int = 5049
+    # length bonus per emitted token (reference scorers/length_bonus.py:35
+    # weighted by `penalty` in get_beam_search_decoder; 0 in all shipped configs)
+    penalty: float = 0.0
 
     @property
     def pre_beam_size(self) -> int:
@@ -159,6 +162,8 @@ def beam_search_batched(
         weighted = weighted.at[..., -1].set(
             jnp.where(eos_dup, NEG, weighted[..., -1])
         )
+        if cfg.penalty != 0.0:
+            weighted = weighted + cfg.penalty  # +1 token per extension
         weighted = weighted + st.score[..., None]
         weighted = jnp.where(st.alive[..., None], weighted, NEG)
 

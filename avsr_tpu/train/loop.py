@@ -87,6 +87,18 @@ def device_prefetch(batches: Iterator[Dict[str, np.ndarray]], put, mesh, depth: 
         yield queue.popleft()
 
 
+def param_summary(params) -> str:
+    """Parameter counts per top-level module + total (the reference prints a
+    torchsummary of the model at startup, script/train.py:256)."""
+    counts: Dict[str, int] = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        top = getattr(path[0], "key", str(path[0]))
+        counts[top] = counts.get(top, 0) + int(np.prod(leaf.shape))
+    lines = [f"  {k:<32s} {v:>14,d}" for k, v in sorted(counts.items())]
+    lines.append(f"  {'total':<32s} {sum(counts.values()):>14,d}")
+    return "\n".join(lines)
+
+
 class MetricsLogger:
     def __init__(self, cfg: LoopConfig):
         self.cfg = cfg
@@ -146,6 +158,7 @@ def run_training(
         model_cfg, tcfg, jax.random.PRNGKey(loop_cfg.seed), example,
         variables=pretrained_variables,
     )
+    print("Model parameters:\n" + param_summary(state.params))
     tx = T.make_optimizer(tcfg)
     state_sh = T.train_state_shardings(state, mesh)
     if loop_cfg.grad_accum > 1:

@@ -218,3 +218,63 @@ def test_bf16_cache_token_stability(setup):
         y32, _ = _our_beam(jmodel, variables, jcfg, x)
         y16, _ = _our_beam(jmodel16, variables, cfg16, x)
         np.testing.assert_array_equal(y32, y16)
+
+
+def test_beam_penalty_matches_reference(setup):
+    """Nonzero length bonus (reference scorers/length_bonus.py): +penalty per
+    emitted token shifts cross-length comparisons (ended-hyp bookkeeping)."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    import torch
+
+    from src.nets.batch_beam_search import BatchBeamSearch
+    from src.nets.scorers.ctc import CTCPrefixScorer
+    from src.nets.scorers.length_bonus import LengthBonus
+
+    tmodel, jmodel, variables, jcfg = setup
+    rng = np.random.RandomState(31)
+    x = (rng.randn(14, 32) * 2.0).astype(np.float32)
+    penalty = 0.5
+
+    model = tmodel.avsr
+    token_list = [f"tok{i}" for i in range(jcfg.odim)]
+    bs = BatchBeamSearch(
+        beam_size=3,
+        vocab_size=jcfg.odim,
+        weights={"decoder": 0.9, "ctc": 0.1, "lm": 0.0, "length_bonus": penalty},
+        scorers={
+            "decoder": model.decoder,
+            "ctc": CTCPrefixScorer(model.ctc, model.eos),
+            "length_bonus": LengthBonus(jcfg.odim),
+            "lm": None,
+        },
+        sos=model.sos,
+        eos=model.eos,
+        token_list=token_list,
+        pre_beam_score_key="decoder",
+    )
+    with torch.no_grad():
+        best = bs(torch.from_numpy(x))[0]
+    ref_yseq, ref_score = np.asarray(best.yseq), float(best.score)
+
+    feats = jnp.asarray(x)
+    ctc_logp = jmodel.apply(variables, feats[None], method="ctc_log_probs")[0]
+    bcfg = BeamSearchConfig(
+        beam_size=3, ctc_weight=0.1, sos=jcfg.sos, eos=jcfg.eos,
+        vocab=jcfg.odim, penalty=penalty,
+    )
+
+    def dec_step(y, pos, cache, mem_mask):
+        return jmodel.apply(variables, y, pos, cache, mem_mask, method="decoder_step")
+
+    def dec_init(memory, maxlen):
+        return jmodel.apply(variables, memory, maxlen, method="decoder_init")
+
+    from avsr_tpu.decode.beam import beam_search
+
+    yseq, length, score = beam_search(
+        bcfg, dec_step, dec_init, feats, ctc_logp, jnp.asarray(x.shape[0])
+    )
+    np.testing.assert_array_equal(np.asarray(yseq)[: int(length)], ref_yseq)
+    np.testing.assert_allclose(score, ref_score, rtol=1e-3, atol=1e-3)
