@@ -59,6 +59,7 @@ class InferenceEngine:
         batch_size: int = 8,
         mode: str = "beam",
         model_kwargs: Optional[Dict] = None,
+        max_decode_tokens: int = 192,
     ):
         if model_type not in ("avsr_cocktail", "auto_avsr", "muavic_en"):
             raise ValueError(f"unsupported model type {model_type!r}")
@@ -70,6 +71,9 @@ class InferenceEngine:
         self.batch_size = batch_size
         self.mode = mode
         self.model_kwargs = model_kwargs or {}
+        # KV-buffer cap; ~5x any real transcript for <=15s chunks and never
+        # binding in practice (0 disables -> reference-exact buffer)
+        self.max_decode_tokens = max_decode_tokens or None
         self.recognizer = None
         self.text_transform: Optional[TextTransform] = None
         self.collator: Optional[DataCollator] = None
@@ -122,6 +126,7 @@ class InferenceEngine:
         self.recognizer = Recognizer(
             model=AVSRModel(cfg), variables=variables, cfg=cfg,
             beam_size=self.beam_size,
+            max_decode_tokens=self.max_decode_tokens,
         )
         self._decode_tokens = lambda toks: self.text_transform.post_process(
             toks
@@ -158,6 +163,7 @@ class InferenceEngine:
             beam_size=self.beam_size,
             audio_rate=640,
             audio_dim=1,
+            max_decode_tokens=self.max_decode_tokens,
         )
         self._decode_tokens = lambda toks: self.text_transform.post_process(
             toks
@@ -411,6 +417,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--cache_dir", type=str, default="./model-bin")
     parser.add_argument("--max_length", type=int, default=15)
     parser.add_argument("--beam_size", type=int, default=3)
+    parser.add_argument("--max_decode_tokens", type=int, default=192,
+                        help="self-KV buffer cap in tokens (0 = uncapped, "
+                        "reference-exact frame-count-sized buffer)")
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--decode_mode", type=str, default="beam",
                         choices=["beam", "greedy"])
@@ -435,6 +444,7 @@ def main():
         args.max_length,
         args.batch_size,
         args.decode_mode,
+        max_decode_tokens=args.max_decode_tokens,
     )
     engine.load_model()
 

@@ -28,7 +28,7 @@ pre-beam on decoder scores with ratio 1.5, length bonus 0.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -67,6 +67,14 @@ class BeamSearchConfig:
     # length bonus per emitted token (reference scorers/length_bonus.py:35
     # weighted by `penalty` in get_beam_search_decoder; 0 in all shipped configs)
     penalty: float = 0.0
+    # cap on the self-attention KV buffer (tokens). The decode loop's cost is
+    # dominated by moving the (L, B*K, maxlen, 2, H, Dh) cache (per-layer
+    # unstack/restack + beam-reorder gather), all linear in maxlen. Real
+    # hypotheses stay far below the frame count (~2-4 tokens/sec of speech vs
+    # 25 frames/sec), so capping the buffer cuts that traffic without changing
+    # any reachable output. None = frame-count-sized buffer, byte-for-byte the
+    # reference semantics (batch_beam_search.py runs at most xlen steps).
+    max_decode_tokens: Optional[int] = None
 
     @property
     def pre_beam_size(self) -> int:
@@ -106,7 +114,10 @@ def beam_search_batched(
         yseq=jnp.full((b, k, buf_len), cfg.eos, jnp.int32).at[..., 0].set(cfg.sos),
         score=jnp.full((b, k), NEG, jnp.float32).at[:, 0].set(0.0),
         alive=jnp.zeros((b, k), bool).at[:, 0].set(True),
-        dec_cache=decoder_init(memory, buf_len),
+        dec_cache=decoder_init(
+            memory,
+            min(buf_len, cfg.max_decode_tokens) if cfg.max_decode_tokens else buf_len,
+        ),
         ctc=jax.vmap(ctc_prefix.init_state, in_axes=(0, None, None))(
             log_probs, k, cfg.sos
         ),

@@ -43,6 +43,9 @@ class Recognizer:
     # avhubert family, raw waveform (640 x 1) for the conformer family
     audio_rate: int = 1
     audio_dim: int = 104
+    # self-KV buffer cap (see BeamSearchConfig.max_decode_tokens);
+    # None = reference-exact frame-count-sized buffer
+    max_decode_tokens: int | None = None
     _encode_cache: dict = field(default_factory=dict, repr=False)
     _beam_cache: dict = field(default_factory=dict, repr=False)
     _greedy_cache: dict = field(default_factory=dict, repr=False)
@@ -89,6 +92,7 @@ class Recognizer:
                 eos=self.cfg.eos,
                 blank=self.cfg.blank,
                 vocab=self.cfg.odim,
+                max_decode_tokens=self.max_decode_tokens,
             )
             model = self.model
 

@@ -289,7 +289,12 @@ class TransformerDecoder(nn.Module):
     ):
         """One decode step: returns (log-probs (B, V), updated cache)."""
         x = self.embed(y_t)[:, None, :] * math.sqrt(self.dim)
-        pe = sinusoidal_pe(cache.self_kv.shape[2], self.dim, x.dtype)
+        # PE table sized past the KV buffer: with a capped cache the position
+        # index can exceed the buffer length (degenerate >cap hyps); the table
+        # is shape-only, so XLA constant-folds it outside the decode loop
+        pe = sinusoidal_pe(
+            max(self.max_decode_len, cache.self_kv.shape[2]), self.dim, x.dtype
+        )
         x = x + jax.lax.dynamic_slice_in_dim(pe, pos, 1, axis=1)
         x, new_kv = self.blocks.step_scan(
             x,

@@ -278,3 +278,32 @@ def test_beam_penalty_matches_reference(setup):
     )
     np.testing.assert_array_equal(np.asarray(yseq)[: int(length)], ref_yseq)
     np.testing.assert_allclose(score, ref_score, rtol=1e-3, atol=1e-3)
+
+
+def test_max_decode_tokens_cap_preserves_output(setup):
+    """A KV-buffer cap larger than the winning hypothesis must not change
+    the result (the cap only trims unreachable buffer space)."""
+    tmodel, jmodel, variables, jcfg = setup
+    rng = np.random.RandomState(41)
+    x = (rng.randn(16, 32) * 2.0).astype(np.float32)
+
+    y_ref, s_ref = _our_beam(jmodel, variables, jcfg, x)
+
+    feats = jnp.asarray(x)
+    ctc_logp = jmodel.apply(variables, feats[None], method="ctc_log_probs")[0]
+    bcfg = BeamSearchConfig(
+        beam_size=3, ctc_weight=0.1, sos=jcfg.sos, eos=jcfg.eos,
+        vocab=jcfg.odim, max_decode_tokens=len(y_ref) + 2,
+    )
+
+    def dec_step(y, pos, cache, mem_mask):
+        return jmodel.apply(variables, y, pos, cache, mem_mask, method="decoder_step")
+
+    def dec_init(memory, maxlen):
+        return jmodel.apply(variables, memory, maxlen, method="decoder_init")
+
+    yseq, length, score = beam_search(
+        bcfg, dec_step, dec_init, feats, ctc_logp, jnp.asarray(x.shape[0])
+    )
+    np.testing.assert_array_equal(np.asarray(yseq)[: int(length)], y_ref)
+    np.testing.assert_allclose(score, s_ref, rtol=1e-5)
