@@ -193,7 +193,10 @@ def beam_search_batched(
         yseq = yseq.at[..., i + 1].set(token)
         flat_prev = (jnp.arange(b)[:, None] * k + prev).reshape(-1)
         if hasattr(cache, "self_kv"):
-            cache = cache._replace(self_kv=cache.self_kv[:, flat_prev])
+            # per-layer tuple of (B*K, maxlen, 2, H, Dh) buffers
+            cache = cache._replace(
+                self_kv=tuple(a[flat_prev] for a in cache.self_kv)
+            )
         else:  # S2TDecoderCache keeps separate K/V
             cache = cache._replace(
                 self_k=cache.self_k[:, flat_prev], self_v=cache.self_v[:, flat_prev]

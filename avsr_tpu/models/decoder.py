@@ -17,7 +17,7 @@ identical to the reference's incremental forward.
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -198,13 +198,17 @@ class _ScanDecoderLayer(DecoderLayer):
 class DecoderCache(NamedTuple):
     """Fixed-shape decode state: per-layer fused self K/V + precomputed src K/V.
 
-    K and V live in one array so the beam reshuffle is a single gather and
-    each step writes one dynamic-update-slice per layer.
-    """
+    Each layer's cache is a separate buffer (tuple over layers), NOT a stacked
+    (L, ...) array: a stacked cache threaded through nn.scan's xs/ys forces XLA
+    to materialize a per-layer unstack and a full restack every decode step,
+    which HLO profiling showed dominating the beam loop. Per-layer buffers are
+    read and dynamic-update-sliced in place; the beam reshuffle maps a gather
+    over the tuple. K and V stay fused in one array per layer so that
+    reshuffle is one gather per layer."""
 
-    self_kv: jax.Array  # (L, B, maxlen, 2, H, Dh)
-    src_k: jax.Array  # (L, B, S, H, Dh)
-    src_v: jax.Array
+    self_kv: Tuple[jax.Array, ...]  # L x (B, maxlen, 2, H, Dh)
+    src_k: Tuple[jax.Array, ...]  # L x (B, S, H, Dh)
+    src_v: Tuple[jax.Array, ...]
 
 
 class TransformerDecoder(nn.Module):
@@ -274,10 +278,13 @@ class TransformerDecoder(nn.Module):
             jnp.zeros((1,), memory.dtype), self._dummy_scan_input(memory.dtype), memory
         )
         cdtype = jnp.dtype(self.cache_dtype)
-        zeros = jnp.zeros((self.layers, b, maxlen, 2, self.heads, dh), cdtype)
+        zeros = jnp.zeros((b, maxlen, 2, self.heads, dh), cdtype)
+        # split the scan-stacked src K/V into per-layer buffers once, outside
+        # the decode loop (see DecoderCache docstring)
         return DecoderCache(
-            self_kv=zeros,
-            src_k=src_k.astype(cdtype), src_v=src_v.astype(cdtype),
+            self_kv=tuple(zeros for _ in range(self.layers)),
+            src_k=tuple(src_k[i].astype(cdtype) for i in range(self.layers)),
+            src_v=tuple(src_v[i].astype(cdtype) for i in range(self.layers)),
         )
 
     def step(
@@ -293,15 +300,30 @@ class TransformerDecoder(nn.Module):
         # index can exceed the buffer length (degenerate >cap hyps); the table
         # is shape-only, so XLA constant-folds it outside the decode loop
         pe = sinusoidal_pe(
-            max(self.max_decode_len, cache.self_kv.shape[2]), self.dim, x.dtype
+            max(self.max_decode_len, cache.self_kv[0].shape[1]), self.dim, x.dtype
         )
         x = x + jax.lax.dynamic_slice_in_dim(pe, pos, 1, axis=1)
-        x, new_kv = self.blocks.step_scan(
-            x,
-            (cache.self_kv, cache.src_k, cache.src_v),
-            (pos, memory_mask),
+        # manual unrolled loop over per-layer parameter slices instead of
+        # nn.scan: scan would thread the KV caches through stacked xs/ys,
+        # materializing a full-cache unstack + restack each step (the dominant
+        # beam-loop cost in HLO profiles). The param slices below only read
+        # loop-invariant values, so XLA hoists them out of the decode loop.
+        stacked = self.blocks.variables["params"]
+        layer = DecoderLayer(
+            self.dim, self.heads, self.units, self.dropout, self.attn_dropout,
+            parent=None,  # detached template, applied with explicit params
         )
+        new_kvs = []
+        for idx in range(self.layers):
+            p_i = jax.tree.map(lambda a: a[idx], stacked)
+            x, kv = layer.apply(
+                {"params": p_i},
+                x, pos, cache.self_kv[idx],
+                cache.src_k[idx], cache.src_v[idx], memory_mask,
+                method="step",
+            )
+            new_kvs.append(kv)
         y = self.after_norm(x[:, 0])
         logits = self.output_layer(y)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        return logp, cache._replace(self_kv=new_kv)
+        return logp, cache._replace(self_kv=tuple(new_kvs))
