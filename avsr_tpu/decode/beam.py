@@ -193,9 +193,9 @@ def beam_search_batched(
         yseq = yseq.at[..., i + 1].set(token)
         flat_prev = (jnp.arange(b)[:, None] * k + prev).reshape(-1)
         if hasattr(cache, "self_kv"):
-            # per-layer tuple of (B*K, maxlen, 2, H, Dh) buffers
+            # per-layer tuple of seq-major (maxlen, B*K, 2, H, Dh) buffers
             cache = cache._replace(
-                self_kv=tuple(a[flat_prev] for a in cache.self_kv)
+                self_kv=tuple(a[:, flat_prev] for a in cache.self_kv)
             )
         else:  # S2TDecoderCache keeps separate K/V
             cache = cache._replace(

@@ -84,6 +84,29 @@ class MultiHeadAttention(nn.Module):
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, tq, self.dim)
         return self.linear_out(out)
 
+    def attend_kv_major(
+        self,
+        query: jax.Array,  # (B, 1, D) single decode position
+        kv: jax.Array,  # (S, B, 2, H, Dh) fused seq-major K/V cache
+        mask: jax.Array,  # (B, 1, S), True = keep
+    ) -> jax.Array:
+        """Decode-path attention over a sequence-major fused cache.
+
+        The cache keeps the position axis leading so each decode step's
+        update is one contiguous dynamic-update-slice row (profiling showed
+        batch-major caches forced XLA into a full-buffer rewrite per step).
+        """
+        b = query.shape[0]
+        d_k = self.dim // self.heads
+        q = self._split(self.linear_q(query))  # (B, 1, H, Dh)
+        scores = jnp.einsum("bqhd,sbhd->bhqs", q, kv[:, :, 0]) / math.sqrt(d_k)
+        m = mask[:, None, :, :]  # (B, 1, 1, S)
+        scores = jnp.where(m, scores, NEG_INF)
+        attn = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(query.dtype)
+        attn = jnp.where(m, attn, 0.0)
+        out = jnp.einsum("bhqs,sbhd->bqhd", attn, kv[:, :, 1])
+        return self.linear_out(out.reshape(b, 1, self.dim))
+
     def __call__(self, query, key, value, mask, deterministic: bool = True):
         k, v = self.project_kv(key, value)
         return self.attend(query, k, v, mask, deterministic)
@@ -140,22 +163,21 @@ class DecoderLayer(nn.Module):
         self,
         x_t: jax.Array,  # (B, 1, D) current-position input
         pos: jax.Array,  # scalar int index
-        self_kv: jax.Array,  # (B, L, 2, H, Dh) fused K/V cache (possibly bf16)
+        self_kv: jax.Array,  # (maxlen, B, 2, H, Dh) seq-major fused K/V cache
         src_k: jax.Array,  # (B, S, H, Dh) precomputed
         src_v: jax.Array,
         memory_mask: Optional[jax.Array],  # (B, 1, S)
     ):
-        maxlen = self_kv.shape[1]
+        maxlen = self_kv.shape[0]
         residual = x_t
         h = self.norm1(x_t)
         k_t, v_t = self.self_attn.project_kv(h, h)  # (B,1,H,Dh)
-        kv_t = jnp.stack([k_t, v_t], axis=2).astype(self_kv.dtype)  # (B,1,2,H,Dh)
-        self_kv = jax.lax.dynamic_update_slice_in_dim(self_kv, kv_t, pos, axis=1)
-        causal = (jnp.arange(maxlen) <= pos)[None, None, :]  # (1,1,L)
+        # one contiguous (1,B,2,H,Dh) row write into the seq-major cache
+        kv_t = jnp.stack([k_t[:, 0], v_t[:, 0]], axis=1)[None].astype(self_kv.dtype)
+        self_kv = jax.lax.dynamic_update_slice_in_dim(self_kv, kv_t, pos, axis=0)
+        causal = (jnp.arange(maxlen) <= pos)[None, None, :]  # (1,1,S)
         causal = jnp.broadcast_to(causal, (x_t.shape[0], 1, maxlen))
-        h = self.self_attn.attend(
-            h, self_kv[:, :, 0], self_kv[:, :, 1], causal
-        )
+        h = self.self_attn.attend_kv_major(h, self_kv, causal)
         x = residual + h
 
         residual = x
@@ -186,14 +208,6 @@ class _ScanDecoderLayer(DecoderLayer):
         k, v = self.src_attn.project_kv(memory, memory)
         return carry, (k, v)
 
-    def step_scan(self, x_t, scanned, extras):
-        self_kv, src_k, src_v = scanned
-        pos, memory_mask = extras
-        x, new_kv = DecoderLayer.step(
-            self, x_t, pos, self_kv, src_k, src_v, memory_mask
-        )
-        return x, new_kv
-
 
 class DecoderCache(NamedTuple):
     """Fixed-shape decode state: per-layer fused self K/V + precomputed src K/V.
@@ -206,7 +220,7 @@ class DecoderCache(NamedTuple):
     over the tuple. K and V stay fused in one array per layer so that
     reshuffle is one gather per layer."""
 
-    self_kv: Tuple[jax.Array, ...]  # L x (B, maxlen, 2, H, Dh)
+    self_kv: Tuple[jax.Array, ...]  # L x (maxlen, B, 2, H, Dh) seq-major
     src_k: Tuple[jax.Array, ...]  # L x (B, S, H, Dh)
     src_v: Tuple[jax.Array, ...]
 
@@ -240,7 +254,7 @@ class TransformerDecoder(nn.Module):
             out_axes=0,
             length=self.layers,
             unroll=self.layers,
-            methods=("fwd", "src_kv", "step_scan"),
+            methods=("fwd", "src_kv"),
         )(self.dim, self.heads, self.units, self.dropout, self.attn_dropout)
         self.after_norm = nn.LayerNorm(epsilon=LN_EPS)
         self.output_layer = nn.Dense(self.odim)
@@ -278,7 +292,7 @@ class TransformerDecoder(nn.Module):
             jnp.zeros((1,), memory.dtype), self._dummy_scan_input(memory.dtype), memory
         )
         cdtype = jnp.dtype(self.cache_dtype)
-        zeros = jnp.zeros((b, maxlen, 2, self.heads, dh), cdtype)
+        zeros = jnp.zeros((maxlen, b, 2, self.heads, dh), cdtype)
         # split the scan-stacked src K/V into per-layer buffers once, outside
         # the decode loop (see DecoderCache docstring)
         return DecoderCache(
@@ -300,7 +314,7 @@ class TransformerDecoder(nn.Module):
         # index can exceed the buffer length (degenerate >cap hyps); the table
         # is shape-only, so XLA constant-folds it outside the decode loop
         pe = sinusoidal_pe(
-            max(self.max_decode_len, cache.self_kv[0].shape[1]), self.dim, x.dtype
+            max(self.max_decode_len, cache.self_kv[0].shape[0]), self.dim, x.dtype
         )
         x = x + jax.lax.dynamic_slice_in_dim(pe, pos, 1, axis=1)
         # manual unrolled loop over per-layer parameter slices instead of
