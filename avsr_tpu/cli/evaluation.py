@@ -120,6 +120,9 @@ class InferenceEngine:
         cfg.decoder_cache_dtype = self.model_kwargs.get(
             "decoder_cache_dtype", "bfloat16"
         )
+        cfg.decoder_param_dtype = self.model_kwargs.get(
+            "decoder_param_dtype", "bfloat16"
+        )
         cfg.encoder.use_flash_attention = self.model_kwargs.get(
             "use_flash_attention", jax.default_backend() == "tpu"
         )

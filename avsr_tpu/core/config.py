@@ -70,6 +70,9 @@ class AVHubertAVSRConfig:
     mtlalpha: float = 0.1
     # decode-time KV cache storage dtype ('float32' | 'bfloat16')
     decoder_cache_dtype: str = "float32"
+    # decode-path weight/activation dtype (bfloat16 for fast serving;
+    # softmax and log-softmax stay fp32)
+    decoder_param_dtype: str = "float32"
     encoder: AVHubertEncoderConfig = field(default_factory=AVHubertEncoderConfig)
 
     @property

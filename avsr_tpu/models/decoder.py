@@ -223,6 +223,15 @@ class DecoderCache(NamedTuple):
     self_kv: Tuple[jax.Array, ...]  # L x (maxlen, B, 2, H, Dh) seq-major
     src_k: Tuple[jax.Array, ...]  # L x (B, S, H, Dh)
     src_v: Tuple[jax.Array, ...]
+    # per-layer parameter trees + output-projection kernel, pre-sliced from
+    # the scan-stacked storage and pre-cast to param_dtype at init time. HLO
+    # profiling showed XLA re-materializing the slice+cast of every layer's
+    # weights on every decode step when taken inside the loop body; carrying
+    # them (loop-invariant, so the while loop aliases rather than copies)
+    # makes the hoist explicit. With param_dtype=bfloat16 the decoder matmuls
+    # also drop the 3-pass f32 MXU decomposition.
+    params: Tuple  # L x DecoderLayer param pytree
+    head_w: jax.Array  # (D, odim) output_layer kernel
 
 
 class TransformerDecoder(nn.Module):
@@ -240,6 +249,9 @@ class TransformerDecoder(nn.Module):
     # bfloat16 roughly halves the per-token cost (scores still accumulate
     # in fp32 via mixed-precision matmuls)
     cache_dtype: str = "float32"
+    # decode-path parameter/activation dtype (softmax and final log-softmax
+    # stay fp32); bfloat16 halves weight reads and runs single-pass MXU
+    decode_param_dtype: str = "float32"
 
     def setup(self):
         self.embed = nn.Embed(self.odim, self.dim)
@@ -292,13 +304,20 @@ class TransformerDecoder(nn.Module):
             jnp.zeros((1,), memory.dtype), self._dummy_scan_input(memory.dtype), memory
         )
         cdtype = jnp.dtype(self.cache_dtype)
+        pdtype = jnp.dtype(self.decode_param_dtype)
         zeros = jnp.zeros((maxlen, b, 2, self.heads, dh), cdtype)
-        # split the scan-stacked src K/V into per-layer buffers once, outside
-        # the decode loop (see DecoderCache docstring)
+        stacked = self.blocks.variables["params"]
+        # split the scan-stacked src K/V (and parameters) into per-layer
+        # buffers once, outside the decode loop (see DecoderCache docstring)
         return DecoderCache(
             self_kv=tuple(zeros for _ in range(self.layers)),
             src_k=tuple(src_k[i].astype(cdtype) for i in range(self.layers)),
             src_v=tuple(src_v[i].astype(cdtype) for i in range(self.layers)),
+            params=tuple(
+                jax.tree.map(lambda a: a[i].astype(pdtype), stacked)
+                for i in range(self.layers)
+            ),
+            head_w=self.variables["params"]["output_layer"]["kernel"].astype(pdtype),
         )
 
     def step(
@@ -317,27 +336,26 @@ class TransformerDecoder(nn.Module):
             max(self.max_decode_len, cache.self_kv[0].shape[0]), self.dim, x.dtype
         )
         x = x + jax.lax.dynamic_slice_in_dim(pe, pos, 1, axis=1)
-        # manual unrolled loop over per-layer parameter slices instead of
-        # nn.scan: scan would thread the KV caches through stacked xs/ys,
-        # materializing a full-cache unstack + restack each step (the dominant
-        # beam-loop cost in HLO profiles). The param slices below only read
-        # loop-invariant values, so XLA hoists them out of the decode loop.
-        stacked = self.blocks.variables["params"]
+        x = x.astype(jnp.dtype(self.decode_param_dtype))
+        # manual unrolled loop over the pre-sliced per-layer parameters in
+        # the cache instead of nn.scan: scan would thread the KV caches
+        # through stacked xs/ys, materializing a full-cache unstack + restack
+        # each step (the dominant beam-loop cost in HLO profiles)
         layer = DecoderLayer(
             self.dim, self.heads, self.units, self.dropout, self.attn_dropout,
             parent=None,  # detached template, applied with explicit params
         )
         new_kvs = []
         for idx in range(self.layers):
-            p_i = jax.tree.map(lambda a: a[idx], stacked)
             x, kv = layer.apply(
-                {"params": p_i},
+                {"params": cache.params[idx]},
                 x, pos, cache.self_kv[idx],
                 cache.src_k[idx], cache.src_v[idx], memory_mask,
                 method="step",
             )
             new_kvs.append(kv)
-        y = self.after_norm(x[:, 0])
-        logits = self.output_layer(y)
+        y = self.after_norm(x[:, 0])  # fp32 LN params promote y to fp32
+        bias = self.variables["params"]["output_layer"]["bias"]
+        logits = y.astype(cache.head_w.dtype) @ cache.head_w + bias
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         return logp, cache._replace(self_kv=tuple(new_kvs))

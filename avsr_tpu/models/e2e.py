@@ -55,6 +55,7 @@ class AVSRModel(nn.Module):
                 dropout=c.dropout_rate,
                 attn_dropout=c.transformer_attn_dropout_rate,
                 cache_dtype=getattr(c, "decoder_cache_dtype", "float32"),
+                decode_param_dtype=getattr(c, "decoder_param_dtype", "float32"),
             )
         if c.adim != c.ddim:
             self.proj_decoder = nn.Dense(c.ddim)

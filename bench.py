@@ -41,7 +41,7 @@ def main() -> None:
     from avsr_tpu.decode.recognizer import Recognizer
     from avsr_tpu.models.e2e import AVSRModel
 
-    cfg = AVHubertAVSRConfig(decoder_cache_dtype="bfloat16")
+    cfg = AVHubertAVSRConfig(decoder_cache_dtype="bfloat16", decoder_param_dtype="bfloat16")
     cfg.encoder.use_flash_attention = True
     model = AVSRModel(cfg)
 

@@ -307,3 +307,23 @@ def test_max_decode_tokens_cap_preserves_output(setup):
     )
     np.testing.assert_array_equal(np.asarray(yseq)[: int(length)], y_ref)
     np.testing.assert_allclose(score, s_ref, rtol=1e-5)
+
+
+def test_bf16_decode_params_token_stability(setup):
+    """bfloat16 decode weights (serving default) must produce the same tokens
+    as fp32 on non-degenerate inputs (near-tie flips are possible in theory;
+    this guards against systematic divergence)."""
+    from avsr_tpu.core.config import AVHubertAVSRConfig
+    from tests.torch_ref import tiny_jax_config
+
+    tmodel, jmodel, variables, jcfg = setup
+    cfg16 = tiny_jax_config()
+    cfg16.decoder_param_dtype = "bfloat16"
+    jmodel16 = AVSRModel(cfg16)
+
+    rng = np.random.RandomState(53)
+    x = (rng.randn(14, 32) * 2.0).astype(np.float32)
+    y32, s32 = _our_beam(jmodel, variables, jcfg, x)
+    y16, s16 = _our_beam(jmodel16, variables, cfg16, x)
+    np.testing.assert_array_equal(y16, y32)
+    np.testing.assert_allclose(s16, s32, rtol=0.05, atol=0.3)
