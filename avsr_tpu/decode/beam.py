@@ -81,6 +81,24 @@ class BeamSearchConfig:
         return int(self.pre_beam_ratio * self.beam_size)
 
 
+def _exact_topk(x: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k along the last axis by k rounds of (max, argmax, mask).
+
+    Descending order, ties broken toward the lower index — identical to
+    lax.top_k / torch.topk — but avoids the full sort XLA lowers top_k and
+    approx_max_k(recall_target=1.0) to on TPU, which dominates for small k
+    over a large vocab inside the decode loop."""
+    iota = jnp.arange(x.shape[-1], dtype=jnp.int32)
+    vals, ids = [], []
+    v = x
+    for _ in range(k):
+        idx = v.argmax(-1).astype(jnp.int32)
+        vals.append(jnp.take_along_axis(v, idx[..., None], -1)[..., 0])
+        ids.append(idx)
+        v = jnp.where(iota == idx[..., None], -jnp.inf, v)
+    return jnp.stack(vals, -1), jnp.stack(ids, -1)
+
+
 def beam_search_batched(
     cfg: BeamSearchConfig,
     decoder_step: Callable,  # (y (N,), pos, cache, mem_mask) -> (logp (N,V), cache)
@@ -149,11 +167,12 @@ def beam_search_batched(
         # (+ eos, which CTC always scores) can win — everything else carries a
         # w_ctc * LOG_ZERO penalty in the reference (batch_beam_search.py:236).
         n_cand = cfg.pre_beam_size + 1  # + explicit eos slot
-        # approx_max_k at recall 1.0 is exact and uses the TPU-optimized
-        # two-phase partial reduction (lax.top_k lowers to a slow loop)
-        dec_top, part_ids = jax.lax.approx_max_k(
-            dec_logp, cfg.pre_beam_size, recall_target=1.0
-        )  # (B, K, S')
+        # exact top-S' by iterated argmax: S' passes of (max, mask) over the
+        # vocab. Both lax.top_k and approx_max_k(recall_target=1.0) lower to
+        # a full (B,K,V) sort on TPU (~10x the cost for S' ~ 4); like sort,
+        # argmax breaks ties toward the lower index, so selection matches the
+        # reference torch.topk ordering.
+        dec_top, part_ids = _exact_topk(dec_logp, cfg.pre_beam_size)  # (B,K,S')
         cand_tokens = jnp.concatenate(
             [part_ids, jnp.full((b, k, 1), cfg.eos, part_ids.dtype)], axis=-1
         )
@@ -179,7 +198,7 @@ def beam_search_batched(
         weighted = jnp.where(st.alive[..., None], weighted, NEG)
 
         # 3. per-utterance flat top-k over (K, S'+1) candidates
-        top_scores, top_idx = jax.lax.top_k(weighted.reshape(b, k * n_cand), k)
+        top_scores, top_idx = _exact_topk(weighted.reshape(b, k * n_cand), k)
         prev = top_idx // n_cand  # (B, K)
         slot = top_idx % n_cand
         token = jnp.take_along_axis(
