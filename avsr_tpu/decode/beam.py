@@ -67,6 +67,13 @@ class BeamSearchConfig:
     # length bonus per emitted token (reference scorers/length_bonus.py:35
     # weighted by `penalty` in get_beam_search_decoder; 0 in all shipped configs)
     penalty: float = 0.0
+    # share cross-attention K/V across beam lanes: the source K/V depend only
+    # on the encoder memory, identical for the K lanes of one utterance, so
+    # storing them un-repeated at (B, S, H, Dh) cuts their per-step reads by
+    # the beam width. Requires decoder_init(memory, maxlen, beam) and a
+    # decoder whose cross-attention folds the beam dim into the query's
+    # (mathematically identity: cross-attn has no structure over queries).
+    shared_src_kv: bool = False
     # cap on the self-attention KV buffer (tokens). The decode loop's cost is
     # dominated by moving the (L, B*K, maxlen, 2, H, Dh) cache (per-layer
     # unstack/restack + beam-reorder gather), all linear in maxlen. Real
@@ -119,9 +126,17 @@ def beam_search_batched(
     w_dec = 1.0 - w_ctc
     use_ctc = w_ctc > 0
 
-    memory = jnp.repeat(feats, k, axis=0)  # (B*K, S, D)
-    mem_mask = jnp.arange(s_max)[None, :] < jnp.repeat(xlens, k)[:, None]
-    mem_mask = mem_mask[:, None, :]  # (B*K, 1, S)
+    kv_len = min(buf_len, cfg.max_decode_tokens) if cfg.max_decode_tokens else buf_len
+    if cfg.shared_src_kv:
+        # per-utterance memory; the decoder folds beam lanes into the
+        # cross-attention query axis
+        mem_mask = (jnp.arange(s_max)[None, :] < xlens[:, None])[:, None, :]
+        dec_cache = decoder_init(feats, kv_len, k)
+    else:
+        memory = jnp.repeat(feats, k, axis=0)  # (B*K, S, D)
+        mem_mask = jnp.arange(s_max)[None, :] < jnp.repeat(xlens, k)[:, None]
+        mem_mask = mem_mask[:, None, :]  # (B*K, 1, S)
+        dec_cache = decoder_init(memory, kv_len)
 
     log_probs = jax.vmap(ctc_prefix.pad_log_probs, in_axes=(0, 0, None))(
         ctc_log_probs, xlens, cfg.blank
@@ -132,10 +147,7 @@ def beam_search_batched(
         yseq=jnp.full((b, k, buf_len), cfg.eos, jnp.int32).at[..., 0].set(cfg.sos),
         score=jnp.full((b, k), NEG, jnp.float32).at[:, 0].set(0.0),
         alive=jnp.zeros((b, k), bool).at[:, 0].set(True),
-        dec_cache=decoder_init(
-            memory,
-            min(buf_len, cfg.max_decode_tokens) if cfg.max_decode_tokens else buf_len,
-        ),
+        dec_cache=dec_cache,
         ctc=jax.vmap(ctc_prefix.init_state, in_axes=(0, None, None))(
             log_probs, k, cfg.sos
         ),

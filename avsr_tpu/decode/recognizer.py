@@ -93,6 +93,9 @@ class Recognizer:
                 blank=self.cfg.blank,
                 vocab=self.cfg.odim,
                 max_decode_tokens=self.max_decode_tokens,
+                # both recognizer families use TransformerDecoder, whose
+                # cross-attention folds beam lanes into the query axis
+                shared_src_kv=True,
             )
             model = self.model
 
@@ -103,9 +106,9 @@ class Recognizer:
                         variables, y, pos, cache, mem_mask, method="decoder_step"
                     )
 
-                def dec_init(memory, maxlen):
+                def dec_init(memory, maxlen, beam=1):
                     return model.apply(
-                        variables, memory, maxlen, method="decoder_init"
+                        variables, memory, maxlen, beam, method="decoder_init"
                     )
 
                 return beam_search_batched(

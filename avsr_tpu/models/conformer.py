@@ -395,8 +395,8 @@ class ConformerAVSR(nn.Module):
     def ctc_logits(self, feats, train: bool = False):
         return self.ctc_lo(self.ctc_drop(feats, deterministic=not train))
 
-    def decoder_init(self, memory, maxlen):
-        return self.decoder.init_cache(memory, maxlen)
+    def decoder_init(self, memory, maxlen, beam: int = 1):
+        return self.decoder.init_cache(memory, maxlen, beam)
 
     def decoder_step(self, y_t, pos, cache, memory_mask=None):
         return self.decoder.step(y_t, pos, cache, memory_mask)
@@ -471,8 +471,8 @@ class ConformerASR(nn.Module):
     def ctc_logits(self, feats, train: bool = False):
         return self.ctc_lo(self.ctc_drop(feats, deterministic=not train))
 
-    def decoder_init(self, memory, maxlen):
-        return self.decoder.init_cache(memory, maxlen)
+    def decoder_init(self, memory, maxlen, beam: int = 1):
+        return self.decoder.init_cache(memory, maxlen, beam)
 
     def decoder_step(self, y_t, pos, cache, memory_mask=None):
         return self.decoder.step(y_t, pos, cache, memory_mask)

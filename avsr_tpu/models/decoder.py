@@ -182,7 +182,17 @@ class DecoderLayer(nn.Module):
 
         residual = x
         h = self.norm2(x)
-        h = self.src_attn.attend(h, src_k, src_v, memory_mask)
+        nb = src_k.shape[0]
+        if h.shape[0] != nb:
+            # src K/V shared per utterance (B, S, H, Dh) while lanes run at
+            # B*K: fold the beam dim into the query axis — cross-attention
+            # has no structure over queries, so this is exactly equivalent
+            kk = h.shape[0] // nb
+            hq = h.reshape(nb, kk, h.shape[-1])
+            h = self.src_attn.attend(hq, src_k, src_v, memory_mask)
+            h = h.reshape(nb * kk, 1, h.shape[-1])
+        else:
+            h = self.src_attn.attend(h, src_k, src_v, memory_mask)
         x = residual + h
 
         residual = x
@@ -295,10 +305,16 @@ class TransformerDecoder(nn.Module):
         )
         return self.output_layer(self.after_norm(x))
 
-    def init_cache(self, memory: jax.Array, maxlen: Optional[int] = None) -> DecoderCache:
-        """Precompute src K/V and allocate zeroed self K/V caches."""
+    def init_cache(
+        self, memory: jax.Array, maxlen: Optional[int] = None, beam: int = 1
+    ) -> DecoderCache:
+        """Precompute src K/V and allocate zeroed self K/V caches.
+
+        With beam > 1 the memory is per-utterance (B, S, D) and the src K/V
+        stay un-repeated while the self-KV buffers cover all B*beam lanes
+        (BeamSearchConfig.shared_src_kv)."""
         maxlen = maxlen or self.max_decode_len
-        b = memory.shape[0]
+        b = memory.shape[0] * beam
         dh = self.dim // self.heads
         _, (src_k, src_v) = self.blocks.src_kv(
             jnp.zeros((1,), memory.dtype), self._dummy_scan_input(memory.dtype), memory

@@ -79,8 +79,10 @@ class AVSRModel(nn.Module):
     def ctc_logits(self, feats: jax.Array, train: bool = False) -> jax.Array:
         return self.ctc_lo(self.ctc_dropout(feats, deterministic=not train))
 
-    def decoder_init(self, memory: jax.Array, maxlen: int) -> DecoderCache:
-        return self.decoder.init_cache(memory, maxlen)
+    def decoder_init(
+        self, memory: jax.Array, maxlen: int, beam: int = 1
+    ) -> DecoderCache:
+        return self.decoder.init_cache(memory, maxlen, beam)
 
     def decoder_step(
         self,

@@ -327,3 +327,32 @@ def test_bf16_decode_params_token_stability(setup):
     y16, s16 = _our_beam(jmodel16, variables, cfg16, x)
     np.testing.assert_array_equal(y16, y32)
     np.testing.assert_allclose(s16, s32, rtol=0.05, atol=0.3)
+
+
+def test_shared_src_kv_matches_unshared(setup):
+    """shared_src_kv folds beam lanes into the cross-attn query axis; the
+    math is identical, so tokens and scores must match the unshared path."""
+    tmodel, jmodel, variables, jcfg = setup
+    rng = np.random.RandomState(61)
+    x = (rng.randn(15, 32) * 2.0).astype(np.float32)
+
+    y_ref, s_ref = _our_beam(jmodel, variables, jcfg, x)  # unshared
+
+    feats = jnp.asarray(x)
+    ctc_logp = jmodel.apply(variables, feats[None], method="ctc_log_probs")[0]
+    bcfg = BeamSearchConfig(
+        beam_size=3, ctc_weight=0.1, sos=jcfg.sos, eos=jcfg.eos,
+        vocab=jcfg.odim, shared_src_kv=True,
+    )
+
+    def dec_step(y, pos, cache, mem_mask):
+        return jmodel.apply(variables, y, pos, cache, mem_mask, method="decoder_step")
+
+    def dec_init(memory, maxlen, beam=1):
+        return jmodel.apply(variables, memory, maxlen, beam, method="decoder_init")
+
+    yseq, length, score = beam_search(
+        bcfg, dec_step, dec_init, feats, ctc_logp, jnp.asarray(x.shape[0])
+    )
+    np.testing.assert_array_equal(np.asarray(yseq)[: int(length)], y_ref)
+    np.testing.assert_allclose(score, s_ref, rtol=1e-5)
