@@ -227,11 +227,26 @@ class InferenceEngine:
             sample = dict(sample, video=tmp.name, _tmp=tmp.name)
         return sample
 
+    @staticmethod
+    def _segment_context(sample: Dict) -> str:
+        ctx = {
+            k: (f"<{len(v)} bytes>" if isinstance(v, (bytes, bytearray)) else v)
+            for k, v in sample.items()
+            if k in ("video", "start_time", "end_time")
+        }
+        return f"segment {ctx}"
+
     def _features(self, samples: List[Dict]):
         prepped = [self._prepare(s) for s in samples]
         feats = []
         for s in prepped:
-            batch = self.collator([s])
+            # per-segment error context so one bad file in a long sweep is
+            # attributable (reference script/evaluation.py:290-294,316-320)
+            try:
+                batch = self.collator([s])
+            except Exception as e:
+                print(f"Error during inference for {self._segment_context(s)}")
+                raise e
             feats.append(
                 (batch["audios"][0], batch["videos"][0], batch["video_lengths"][0])
             )
@@ -260,7 +275,14 @@ class InferenceEngine:
                     auds[i, :l] = np.asarray(a)[:l]
                     vids[i, :l] = np.asarray(v)[:l]
                     lens[i] = l
-                token_batches = self.generator.generate(auds, vids, lens)[: len(chunk)]
+                try:
+                    token_batches = self.generator.generate(auds, vids, lens)[
+                        : len(chunk)
+                    ]
+                except Exception as e:
+                    for s in chunk:
+                        print(f"Error during inference for {self._segment_context(s)}")
+                    raise e
                 outputs.extend(
                     self.tokenizer.decode(t).upper() for t in token_batches
                 )
@@ -269,11 +291,16 @@ class InferenceEngine:
             vids = [np.asarray(v)[:l] for _, v, l in feats]
             # pipelined dispatch: the next chunk collates/transfers while
             # this one decodes on device
-            nxt = self.recognizer.transcribe_batch_async(
-                auds, vids, mode=self.mode, batch_pad=self.batch_size
-            )
-            if pending is not None:
-                outputs.extend(self._decode_tokens(t) for t in pending.result())
+            try:
+                nxt = self.recognizer.transcribe_batch_async(
+                    auds, vids, mode=self.mode, batch_pad=self.batch_size
+                )
+                if pending is not None:
+                    outputs.extend(self._decode_tokens(t) for t in pending.result())
+            except Exception as e:
+                for s in chunk:
+                    print(f"Error during inference for {self._segment_context(s)}")
+                raise e
             pending = nxt
         if pending is not None:
             outputs.extend(self._decode_tokens(t) for t in pending.result())
@@ -351,7 +378,7 @@ class InferenceEngine:
                 f.write(vtt.write(cues))
 
 
-def eval_lrs2(engine: InferenceEngine, dataset) -> float:
+def eval_lrs2(engine: InferenceEngine, dataset, verbose: bool = False) -> float:
     refs, hyps = [], []
     samples, labels = [], []
     for sample in dataset:
@@ -366,10 +393,15 @@ def eval_lrs2(engine: InferenceEngine, dataset) -> float:
     outputs = engine.infer_samples(samples)
     hyps = [norm_string(o.replace("<unk>", "")) for o in outputs]
     refs = labels
+    if verbose:
+        for i, (r, h) in enumerate(zip(refs, hyps)):
+            print(f"[{i}] REF: {r}")
+            print(f"[{i}] HYP: {h} (wer {wer(reference=r or '<empty>', hypothesis=h):.4f})")
     return wer(reference=refs, hypothesis=hyps)
 
 
-def eval_avcocktail(engine, video_dataset, label_dataset, set_name=None):
+def eval_avcocktail(engine, video_dataset, label_dataset, set_name=None,
+                    verbose: bool = False):
     label_blob = label_dataset["label"][0]
     if isinstance(label_blob, bytes):
         label_blob = label_blob.decode("utf-8")
@@ -396,6 +428,9 @@ def eval_avcocktail(engine, video_dataset, label_dataset, set_name=None):
             picked.append((s, {"video": sample["video"]}))
         picked.sort(key=lambda p: p[0])
         outputs = engine.infer_samples([p[1] for p in picked])
+        if verbose:
+            for (s, _), o in zip(picked, outputs):
+                print(f"[{set_name or ''} {chunk_type} @{s:.2f}s] HYP: {o}")
         output_text = norm_string(" ".join(outputs).replace("<unk>", ""))
         wer_scores[chunk_type] = wer(reference=label_text, hypothesis=output_text)
     return wer_scores, len(label_text.split())
@@ -457,7 +492,7 @@ def main():
         for set_id in sets:
             print(f"Inferring lrs2/{set_id} sessions using {args.model_type} model")
             ds = _load_hf_dataset("nguyenvulebinh/AVYT", "lrs2", streaming=True)[set_id]
-            score = eval_lrs2(engine, ds)
+            score = eval_lrs2(engine, ds, verbose=args.verbose)
             scores.append(score)
             print(f"WER {set_id}: {score:.4f}")
         if len(sets) > 1:
@@ -469,7 +504,9 @@ def main():
             print(f"Inferring AVCocktail/{set_id} sessions using {args.model_type} model")
             video_ds = _load_hf_dataset("nguyenvulebinh/AVCocktail", set_id)
             label_ds = _load_hf_dataset("nguyenvulebinh/AVCocktail", "labels")[set_id]
-            wer_scores, n_words = eval_avcocktail(engine, video_ds, label_ds, set_id)
+            wer_scores, n_words = eval_avcocktail(
+                engine, video_ds, label_ds, set_id, verbose=args.verbose
+            )
             for chunk_type, score in wer_scores.items():
                 agg.setdefault(chunk_type, []).extend([score] * n_words)
                 print(f"WER {set_id} {chunk_type}: {score:.4f}")

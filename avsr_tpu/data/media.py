@@ -74,18 +74,27 @@ def _load_video_pyav(path: str, start_time: float, end_time: Optional[float]):
     return np.stack(frames).astype(np.float32)[..., None]
 
 
+# bounded retry on decode failure: transient I/O errors on network-mounted
+# or streaming-downloaded media are common at dataset scale (the reference
+# retries a corrupt video 3x — src/avhubert_muavic/utils.py:14-30)
+DECODE_RETRIES = 3
+
+
 def load_video(
     path: str, start_time: float = 0.0, end_time: Optional[float] = None
 ) -> np.ndarray:
     """Grayscale frames (T, H, W, 1) float32 in [0, 255]."""
     errors = []
-    for fn in (_load_video_pyav, _load_video_cv2):
-        try:
-            return fn(path, start_time, end_time)
-        except ImportError as e:
-            errors.append(str(e))
-        except Exception as e:  # backend-specific decode failure
-            errors.append(f"{fn.__name__}: {e}")
+    for attempt in range(DECODE_RETRIES):
+        for fn in (_load_video_pyav, _load_video_cv2):
+            try:
+                return fn(path, start_time, end_time)
+            except ImportError as e:
+                errors.append(str(e))
+            except Exception as e:  # backend-specific decode failure
+                errors.append(f"{fn.__name__}: {e}")
+        if attempt < DECODE_RETRIES - 1:
+            print(f"failed loading {path} ({attempt + 1} / {DECODE_RETRIES})")
     raise IOError(f"all video backends failed for {path}: {errors}")
 
 
@@ -149,13 +158,16 @@ def load_audio(
 ) -> np.ndarray:
     """Mono float32 waveform (T,) at 16 kHz."""
     errors = []
-    for fn in (_load_audio_pyav, _load_audio_wav, _load_audio_ffmpeg):
-        try:
-            return fn(path, start_time, end_time)
-        except ImportError as e:
-            errors.append(str(e))
-        except Exception as e:
-            errors.append(f"{fn.__name__}: {e}")
+    for attempt in range(DECODE_RETRIES):
+        for fn in (_load_audio_pyav, _load_audio_wav, _load_audio_ffmpeg):
+            try:
+                return fn(path, start_time, end_time)
+            except ImportError as e:
+                errors.append(str(e))
+            except Exception as e:
+                errors.append(f"{fn.__name__}: {e}")
+        if attempt < DECODE_RETRIES - 1:
+            print(f"failed loading {path} ({attempt + 1} / {DECODE_RETRIES})")
     raise IOError(f"all audio backends failed for {path}: {errors}")
 
 

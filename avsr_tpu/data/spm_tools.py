@@ -3,8 +3,8 @@
 Counterpart of /root/reference/src/tokenizer/spm/{spm_encode.py,train.sh}'s
 runtime half: encoding text with an existing unigram model and deriving the
 units (piece -> id) file from a corpus, using the native tokenizer (no
-sentencepiece binary needed). Training new SPM models still requires the
-sentencepiece trainer and is out of scope here.
+sentencepiece binary needed). Training new unigram models lives in
+avsr_tpu.data.spm_train (pure-Python EM trainer + ModelProto writer).
 """
 
 from __future__ import annotations

@@ -171,6 +171,7 @@ def run_training(
             model, tx, mesh, tcfg.compute_dtype, state_sh
         )
         put = shard_batch
+    eval_fn = T.make_parallel_eval_step(model, mesh, tcfg.compute_dtype, state_sh)
 
     ckpt_root = os.path.abspath(os.path.join(loop_cfg.output_dir, "checkpoints"))
     if resume_from_checkpoint and os.path.isdir(ckpt_root):
@@ -216,7 +217,7 @@ def run_training(
             for i, vb in enumerate(vbatches):
                 if i >= loop_cfg.eval_batches:
                     break
-                m = T.eval_step(model, state, shard_batch(vb, mesh))
+                m = eval_fn(state, shard_batch(vb, mesh))
                 for k, v in m.items():
                     ev.setdefault(k, []).append(float(v))
             if ev:

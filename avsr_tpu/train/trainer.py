@@ -224,11 +224,31 @@ def train_step(model, tx, state: TrainState, batch, rng,
     )
 
 
-def eval_step(model, state: TrainState, batch):
+def eval_step(model, state: TrainState, batch, compute_dtype: str = "float32"):
     _, (metrics, _) = loss_fn(
-        model, state.params, state.batch_stats, batch, rngs={}, train=False
+        model, state.params, state.batch_stats, batch, rngs={}, train=False,
+        compute_dtype=compute_dtype,
     )
     return metrics
+
+
+def make_parallel_eval_step(model, mesh, compute_dtype: str = "float32",
+                            state_shardings=None):
+    """Jit the eval step with the same mesh shardings as the train step.
+
+    The reference evaluates through the same compiled path as training (HF
+    Trainer evaluation_loop); an unjitted ``model.apply`` on TPU dispatches
+    the 325M-param forward op-by-op and dominates every eval cadence.
+    """
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    st_sh = state_shardings if state_shardings is not None else repl
+
+    @partial(jax.jit, in_shardings=(st_sh, data), out_shardings=repl)
+    def step(state, batch):
+        return eval_step(model, state, batch, compute_dtype)
+
+    return step
 
 
 def replicate_state(state: TrainState, mesh) -> TrainState:

@@ -109,7 +109,7 @@ def test_head_pose_parity():
 
 
 def test_error_calculator():
-    from avsr_tpu.frontends.tracker import ErrorCalculator
+    from avsr_tpu.data.wer import ErrorCalculator
 
     chars = ["<blank>", "A", "B", "C", "<space>"]
     calc = ErrorCalculator(chars, "<space>", "<blank>", report_cer=True,
