@@ -44,6 +44,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "training (each host reads its own data shards)")
     p.add_argument("--profile_dir", type=str, default="",
                    help="write a jax profiler trace of steps 10-12 here")
+    p.add_argument("--use_flash_attention", type=str, default="auto",
+                   choices=["auto", "true", "false"],
+                   help="Pallas flash attention in the encoder (fwd+bwd). "
+                        "'auto' = on when running on TPU. The flash path "
+                        "skips attention-prob dropout (kernel never forms "
+                        "the prob matrix); set 'false' for reference-exact "
+                        "training dynamics")
     return p
 
 
@@ -80,6 +87,15 @@ def main():
         model_cfg, pretrained = load_pretrained(args.model_name_or_path)
     else:
         print("Training from scratch (random init)")
+
+    if args.use_flash_attention == "auto":
+        import jax
+
+        model_cfg.encoder.use_flash_attention = jax.default_backend() == "tpu"
+    else:
+        model_cfg.encoder.use_flash_attention = args.use_flash_attention == "true"
+    if model_cfg.encoder.use_flash_attention:
+        print("Flash attention: on (attention-prob dropout skipped)")
 
     if args.synthetic_dataset:
         import jax

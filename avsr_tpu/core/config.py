@@ -40,8 +40,10 @@ class AVHubertEncoderConfig:
     activation_dropout: float = 0.0
     dropout_input: float = 0.1
     layerdrop: float = 0.0
-    # Pallas flash-attention for encoder self-attention (inference path;
-    # the eager einsum path is used when attention dropout is active)
+    # Pallas flash-attention for encoder self-attention (forward + custom-VJP
+    # backward, so it serves both inference and training). The kernel never
+    # materializes the attention-prob matrix, so attention_dropout is not
+    # applied on this path; disable for reference-exact training dynamics.
     use_flash_attention: bool = False
 
     @property

@@ -53,6 +53,10 @@ class BeamState(NamedTuple):
     best_yseq: jax.Array  # (B, L)
     best_len: jax.Array  # (B,)
     stop: jax.Array  # (B,) bool
+    # lazy-reorder ancestry (kv_len, B, K): anc[s, b, k] = stored lane whose
+    # cache row at position s belongs to hypothesis (b, k)'s prefix.
+    # (1, 1, 1) dummy when cfg.lazy_reorder is off.
+    anc: jax.Array
 
 
 @dataclass(frozen=True)
@@ -74,6 +78,12 @@ class BeamSearchConfig:
     # decoder whose cross-attention folds the beam dim into the query's
     # (mathematically identity: cross-attn has no structure over queries).
     shared_src_kv: bool = False
+    # lazy beam reorder: never physically reshuffle the self-KV caches after
+    # top-k. Instead keep per-position ancestry indices and resolve them at
+    # attention time (models/decoder.py attend_kv_lazy). Removes the
+    # per-layer full-cache gather per step and lets XLA update the KV row
+    # in place. Requires a decoder_step accepting a lane_bias argument.
+    lazy_reorder: bool = False
     # cap on the self-attention KV buffer (tokens). The decode loop's cost is
     # dominated by moving the (L, B*K, maxlen, 2, H, Dh) cache (per-layer
     # unstack/restack + beam-reorder gather), all linear in maxlen. Real
@@ -157,6 +167,11 @@ def beam_search_batched(
         best_yseq=jnp.full((b, buf_len), cfg.eos, jnp.int32),
         best_len=jnp.zeros((b,), jnp.int32),
         stop=jnp.zeros((b,), bool),
+        anc=(
+            jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32), (kv_len, b, k))
+            if cfg.lazy_reorder
+            else jnp.zeros((1, 1, 1), jnp.int32)
+        ),
     )
 
     def cond(st: BeamState):
@@ -169,9 +184,28 @@ def beam_search_batched(
         lane_active = jnp.logical_and(~st.stop, i < xlens)  # (B,)
 
         # 1. attention-decoder scores for all B*K slots
-        dec_logp, cache = decoder_step(
-            st.yseq[..., i].reshape(n), i, st.dec_cache, mem_mask
-        )
+        if cfg.lazy_reorder:
+            # this step's row (position i) is written by each lane itself
+            ident = jnp.broadcast_to(
+                jnp.arange(k, dtype=jnp.int32), (1, b, k)
+            )
+            anc = jax.lax.dynamic_update_slice_in_dim(st.anc, ident, i, axis=0)
+            # 0 on (s <= i) & (stored lane == ancestor lane), NEG elsewhere;
+            # shared by all decoder layers this step
+            s_valid = jnp.arange(anc.shape[0]) <= i
+            onehot = anc[..., None] == jnp.arange(k)  # (S, B, K, J)
+            lane_bias = jnp.where(
+                s_valid[:, None, None, None] & onehot, 0.0, NEG
+            )
+            lane_bias = jnp.transpose(lane_bias, (1, 2, 3, 0))  # (B, K, J, S)
+            dec_logp, cache = decoder_step(
+                st.yseq[..., i].reshape(n), i, st.dec_cache, mem_mask, lane_bias
+            )
+        else:
+            anc = st.anc
+            dec_logp, cache = decoder_step(
+                st.yseq[..., i].reshape(n), i, st.dec_cache, mem_mask
+            )
         dec_logp = dec_logp.reshape(b, k, v)
 
         # 2. pre-beam pruning on decoder scores, then CTC prefix scoring.
@@ -222,13 +256,19 @@ def beam_search_batched(
         # small recording state below is masked by lane_active.
         yseq = jnp.take_along_axis(st.yseq, prev[..., None], axis=1)
         yseq = yseq.at[..., i + 1].set(token)
-        flat_prev = (jnp.arange(b)[:, None] * k + prev).reshape(-1)
-        if hasattr(cache, "self_kv"):
+        if cfg.lazy_reorder:
+            # reorder only the tiny ancestry matrix; the KV caches stay put
+            anc = jnp.take_along_axis(
+                anc, jnp.broadcast_to(prev[None], anc.shape), axis=2
+            )
+        elif hasattr(cache, "self_kv"):
             # per-layer tuple of seq-major (maxlen, B*K, 2, H, Dh) buffers
+            flat_prev = (jnp.arange(b)[:, None] * k + prev).reshape(-1)
             cache = cache._replace(
                 self_kv=tuple(a[:, flat_prev] for a in cache.self_kv)
             )
         else:  # S2TDecoderCache keeps separate K/V
+            flat_prev = (jnp.arange(b)[:, None] * k + prev).reshape(-1)
             cache = cache._replace(
                 self_k=cache.self_k[:, flat_prev], self_v=cache.self_v[:, flat_prev]
             )
@@ -300,6 +340,7 @@ def beam_search_batched(
             best_yseq=best_yseq,
             best_len=best_len,
             stop=stop,
+            anc=anc,
         )
 
     final = jax.lax.while_loop(cond, body, init)

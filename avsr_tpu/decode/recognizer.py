@@ -96,14 +96,18 @@ class Recognizer:
                 # both recognizer families use TransformerDecoder, whose
                 # cross-attention folds beam lanes into the query axis
                 shared_src_kv=True,
+                # and whose decode step resolves beam ancestry at attention
+                # time, so the KV caches are never physically reshuffled
+                lazy_reorder=True,
             )
             model = self.model
 
             @jax.jit
             def run(variables, feats, ctc_logp, xlens):
-                def dec_step(y, pos, cache, mem_mask):
+                def dec_step(y, pos, cache, mem_mask, lane_bias=None):
                     return model.apply(
-                        variables, y, pos, cache, mem_mask, method="decoder_step"
+                        variables, y, pos, cache, mem_mask, lane_bias,
+                        method="decoder_step",
                     )
 
                 def dec_init(memory, maxlen, beam=1):

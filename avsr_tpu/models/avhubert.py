@@ -92,7 +92,12 @@ class EncoderSelfAttention(nn.Module):
         k = proj("k_proj")
         v = proj("v_proj")
 
-        if self.use_flash and (deterministic or self.dropout == 0.0):
+        if self.use_flash:
+            # Pallas kernel with a custom VJP: used for training and
+            # inference. Attention-prob dropout is not applied on this path
+            # (the kernel never materializes the prob matrix); hidden-state
+            # dropouts are unaffected. Turn flash off to recover the
+            # reference's exact training dynamics.
             from avsr_tpu.ops.pallas.flash_attention import mha_flash
 
             out = mha_flash(q, k, v, padding_mask, scale=d_k ** -0.5)

@@ -398,8 +398,8 @@ class ConformerAVSR(nn.Module):
     def decoder_init(self, memory, maxlen, beam: int = 1):
         return self.decoder.init_cache(memory, maxlen, beam)
 
-    def decoder_step(self, y_t, pos, cache, memory_mask=None):
-        return self.decoder.step(y_t, pos, cache, memory_mask)
+    def decoder_step(self, y_t, pos, cache, memory_mask=None, lane_bias=None):
+        return self.decoder.step(y_t, pos, cache, memory_mask, lane_bias)
 
     def __call__(self, videos, audios, labels, video_lengths, label_lengths,
                  train: bool = False):
@@ -474,8 +474,8 @@ class ConformerASR(nn.Module):
     def decoder_init(self, memory, maxlen, beam: int = 1):
         return self.decoder.init_cache(memory, maxlen, beam)
 
-    def decoder_step(self, y_t, pos, cache, memory_mask=None):
-        return self.decoder.step(y_t, pos, cache, memory_mask)
+    def decoder_step(self, y_t, pos, cache, memory_mask=None, lane_bias=None):
+        return self.decoder.step(y_t, pos, cache, memory_mask, lane_bias)
 
     def __call__(self, xs, labels, lengths, label_lengths, train: bool = False):
         x = self.encode(xs, lengths, train)

@@ -107,6 +107,38 @@ class MultiHeadAttention(nn.Module):
         out = jnp.einsum("bhqs,sbhd->bqhd", attn, kv[:, :, 1])
         return self.linear_out(out.reshape(b, 1, self.dim))
 
+    def attend_kv_lazy(
+        self,
+        query: jax.Array,  # (B*K, 1, D) single decode position
+        kv: jax.Array,  # (S, B*K, 2, H, Dh) seq-major cache, never reordered
+        lane_bias: jax.Array,  # (B, K, K, S): 0 on each position's ancestor
+        # lane (and s <= pos), NEG elsewhere
+    ) -> jax.Array:
+        """Decode attention with lazy beam reorder (ancestry resolution).
+
+        Physically reshuffling the K/V caches after every top-k costs a
+        full-cache gather per layer per step (the dominant beam-loop cost in
+        HLO profiles, and it forces the row-write into a copy). Instead the
+        cache rows stay where they were written and each lane's attention
+        reads its own ancestry: scores are computed against ALL K stored
+        lanes per position (K x more score FLOPs — trivial next to the
+        bandwidth saved) and non-ancestor lanes are masked by `lane_bias`,
+        so the joint softmax over (lane, position) equals the softmax the
+        reordered cache would produce.
+        """
+        s, n = kv.shape[0], kv.shape[1]
+        b, k, j, _ = lane_bias.shape
+        d_k = self.dim // self.heads
+        q = self._split(self.linear_q(query)).reshape(b, k, self.heads, d_k)
+        kvl = kv.reshape(s, b, k, 2, self.heads, d_k)
+        scores = jnp.einsum("bkhd,sbjhd->bhkjs", q, kvl[:, :, :, 0]) / math.sqrt(d_k)
+        scores = scores + lane_bias[:, None].astype(scores.dtype)
+        flat = scores.reshape(b, self.heads, k, j * s)
+        attn = jax.nn.softmax(flat.astype(jnp.float32), -1).astype(query.dtype)
+        attn = attn.reshape(b, self.heads, k, j, s)
+        out = jnp.einsum("bhkjs,sbjhd->bkhd", attn, kvl[:, :, :, 1])
+        return self.linear_out(out.reshape(n, 1, self.dim))
+
     def __call__(self, query, key, value, mask, deterministic: bool = True):
         k, v = self.project_kv(key, value)
         return self.attend(query, k, v, mask, deterministic)
@@ -167,6 +199,7 @@ class DecoderLayer(nn.Module):
         src_k: jax.Array,  # (B, S, H, Dh) precomputed
         src_v: jax.Array,
         memory_mask: Optional[jax.Array],  # (B, 1, S)
+        lane_bias: Optional[jax.Array] = None,  # (B, K, K, maxlen) lazy reorder
     ):
         maxlen = self_kv.shape[0]
         residual = x_t
@@ -175,9 +208,13 @@ class DecoderLayer(nn.Module):
         # one contiguous (1,B,2,H,Dh) row write into the seq-major cache
         kv_t = jnp.stack([k_t[:, 0], v_t[:, 0]], axis=1)[None].astype(self_kv.dtype)
         self_kv = jax.lax.dynamic_update_slice_in_dim(self_kv, kv_t, pos, axis=0)
-        causal = (jnp.arange(maxlen) <= pos)[None, None, :]  # (1,1,S)
-        causal = jnp.broadcast_to(causal, (x_t.shape[0], 1, maxlen))
-        h = self.self_attn.attend_kv_major(h, self_kv, causal)
+        if lane_bias is not None:
+            # causal mask + ancestor-lane selection are folded into lane_bias
+            h = self.self_attn.attend_kv_lazy(h, self_kv, lane_bias)
+        else:
+            causal = (jnp.arange(maxlen) <= pos)[None, None, :]  # (1,1,S)
+            causal = jnp.broadcast_to(causal, (x_t.shape[0], 1, maxlen))
+            h = self.self_attn.attend_kv_major(h, self_kv, causal)
         x = residual + h
 
         residual = x
@@ -342,6 +379,7 @@ class TransformerDecoder(nn.Module):
         pos: jax.Array,  # scalar position index (0-based)
         cache: DecoderCache,
         memory_mask: Optional[jax.Array] = None,  # (B, 1, S)
+        lane_bias: Optional[jax.Array] = None,  # (B, K, K, maxlen) lazy reorder
     ):
         """One decode step: returns (log-probs (B, V), updated cache)."""
         x = self.embed(y_t)[:, None, :] * math.sqrt(self.dim)
@@ -366,7 +404,7 @@ class TransformerDecoder(nn.Module):
             x, kv = layer.apply(
                 {"params": cache.params[idx]},
                 x, pos, cache.self_kv[idx],
-                cache.src_k[idx], cache.src_v[idx], memory_mask,
+                cache.src_k[idx], cache.src_v[idx], memory_mask, lane_bias,
                 method="step",
             )
             new_kvs.append(kv)

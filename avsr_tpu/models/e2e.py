@@ -90,8 +90,9 @@ class AVSRModel(nn.Module):
         pos: jax.Array,
         cache: DecoderCache,
         memory_mask: Optional[jax.Array] = None,
+        lane_bias: Optional[jax.Array] = None,
     ):
-        return self.decoder.step(y_t, pos, cache, memory_mask)
+        return self.decoder.step(y_t, pos, cache, memory_mask, lane_bias)
 
     def __call__(
         self,

@@ -1,4 +1,4 @@
-"""Pallas TPU flash attention (tiled online-softmax) for encoder self-attention.
+"""Pallas TPU flash attention (tiled online-softmax), forward + backward.
 
 Computes softmax(q @ k^T * scale + bias) @ v without materializing the
 (T, T) score matrix in HBM: the K/V sequence is streamed through VMEM in
@@ -6,8 +6,15 @@ blocks with the standard online-softmax running (max, sum, accumulator)
 update. Padding enters as an additive key bias (0 valid / -inf-ish pad),
 matching the encoder's masking semantics (models/avhubert.py).
 
-Layout: q, k, v are (N=B*H, T, D) with T padded to the block size; the grid
-is (N, T/block_q) and each program streams K/V blocks with a fori_loop.
+The backward pass (jax.custom_vjp) recomputes attention probabilities from
+the saved per-row logsumexp (flash-attention-2 style): one kernel produces
+dQ streaming K/V, a second produces dK/dV streaming Q/dO. Attention-prob
+dropout is not part of the kernel; training with flash attention runs the
+attention matmul dropout-free (hidden-state dropouts are unaffected).
+
+Layout: q, k, v are (N=B*H, T, D) with T padded to the block size; grids
+are (N, T/block) and each program streams the opposing sequence blocks
+with a fori_loop.
 """
 
 from __future__ import annotations
@@ -22,30 +29,33 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1.0e30
 
 
-def _flash_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int,
-                  scale: float):
-    # block shapes: bias (1, 1, T), q (1, block_q, D), k/v (1, T, D), o (1, block_q, D)
+def _flash_fwd_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                      block_k: int, scale: float):
+    # blocks: bias (1,1,T), q (1,block_q,D), k/v (1,T,D),
+    #         o (1,block_q,D), lse (1,1,block_q)
     t = k_ref.shape[1]
     d = q_ref.shape[2]
     block_q = q_ref.shape[1]
-    q = q_ref[0].astype(jnp.float32) * scale  # (block_q, D)
+    # matmuls run in the input dtype (bf16 single-pass MXU when training in
+    # bf16) with fp32 accumulation; softmax statistics stay fp32
+    q = q_ref[0]  # (block_q, D)
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
-        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :]
         bias = bias_ref[0, 0, pl.ds(i * block_k, block_k)].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (block_q, block_k)
-        s = s + bias[None, :]
+        )  # (block_q, block_k) fp32
+        s = s * scale + bias[None, :]
         m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
         alpha = jnp.exp(m_prev - m_cur)
         p = jnp.exp(s - m_cur[:, None])
         l_cur = l_prev * alpha + jnp.sum(p, axis=1)
         acc = acc * alpha[:, None] + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())),
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return m_cur, l_cur, acc
@@ -53,8 +63,193 @@ def _flash_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, *, block_k: int,
     m0 = jnp.full((block_q,), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q,), jnp.float32)
     acc0 = jnp.zeros((block_q, d), jnp.float32)
-    _, l, acc = jax.lax.fori_loop(0, t // block_k, body, (m0, l0, acc0))
+    m, l, acc = jax.lax.fori_loop(0, t // block_k, body, (m0, l0, acc0))
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)[:, None]).astype(o_ref.dtype)
+    lse_ref[0, 0] = m + jnp.log(jnp.maximum(l, 1e-30))
+
+
+def _flash_bwd_dq_kernel(bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                         delta_ref, dq_ref, *, block_k: int, scale: float):
+    # blocks: bias (1,1,T), q/do (1,block_q,D), k/v (1,T,D),
+    #         lse/delta (1,1,block_q), dq (1,block_q,D)
+    t = k_ref.shape[1]
+    d = q_ref.shape[2]
+    block_q = q_ref.shape[1]
+    q = q_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0, 0]  # (block_q,)
+    delta = delta_ref[0, 0]
+
+    def body(i, acc):
+        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :]
+        bias = bias_ref[0, 0, pl.ds(i * block_k, block_k)].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias[None, :]
+        p = jnp.exp(s - lse[:, None])  # (block_q, block_k), normalized
+        dp = jax.lax.dot_general(
+            do, v_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - delta[:, None])).astype(k_blk.dtype)
+        return acc + jax.lax.dot_general(
+            ds, k_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    acc = jax.lax.fori_loop(0, t // block_k, body, acc0)
+    dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                          delta_ref, dk_ref, dv_ref, *, block_q: int,
+                          scale: float):
+    # blocks: bias (1,1,block_k), k/v (1,block_k,D), q/do (1,T,D),
+    #         lse/delta (1,1,T), dk/dv (1,block_k,D)
+    t = q_ref.shape[1]
+    d = q_ref.shape[2]
+    block_k = k_ref.shape[1]
+    k = k_ref[0]
+    v = v_ref[0]
+    bias = bias_ref[0, 0].astype(jnp.float32)  # (block_k,)
+
+    def body(i, carry):
+        dk, dv = carry
+        q_blk = q_ref[0, pl.ds(i * block_q, block_q), :]
+        do_blk = do_ref[0, pl.ds(i * block_q, block_q), :]
+        lse_blk = lse_ref[0, 0, pl.ds(i * block_q, block_q)]
+        delta_blk = delta_ref[0, 0, pl.ds(i * block_q, block_q)]
+        s = jax.lax.dot_general(
+            q_blk, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias[None, :]
+        p = jnp.exp(s - lse_blk[:, None])  # (block_q, block_k) fp32
+        dv = dv + jax.lax.dot_general(
+            p.astype(do_blk.dtype), do_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do_blk, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - delta_blk[:, None])).astype(q_blk.dtype)
+        dk = dk + jax.lax.dot_general(
+            ds, q_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dk, dv
+
+    zeros = jnp.zeros((block_k, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, t // block_q, body, (zeros, zeros))
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _resolve_interpret(interpret):
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
+def _fwd_impl(q, k, v, key_bias, scale, block_q, block_k, interpret):
+    n, t, d = q.shape
+    if t % block_q or t % block_k:
+        raise ValueError(f"sequence length {t} must be a multiple of the block size")
+    grid = (n, t // block_q)
+    return pl.pallas_call(
+        functools.partial(_flash_fwd_kernel, block_k=block_k, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, t), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, t, d), q.dtype),
+            jax.ShapeDtypeStruct((n, 1, t), jnp.float32),
+        ],
+        interpret=_resolve_interpret(interpret),
+    )(key_bias[:, None, :], q, k, v)
+
+
+def _bwd_impl(q, k, v, key_bias, out, lse, g, scale, block_q, block_k,
+              interpret):
+    n, t, d = q.shape
+    interpret = _resolve_interpret(interpret)
+    bias3 = key_bias[:, None, :]
+    # delta_i = rowsum(dO_i * O_i), cheap elementwise reduce left to XLA
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)[:, None, :]  # (N, 1, T)
+
+    full_seq = lambda b, i: (b, 0, 0)
+    row_blk_q = pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM)
+    seq_ref = pl.BlockSpec((1, t, d), full_seq, memory_space=pltpu.VMEM)
+    stat_blk_q = pl.BlockSpec((1, 1, block_q), lambda b, i: (b, 0, i),
+                              memory_space=pltpu.VMEM)
+    stat_full = pl.BlockSpec((1, 1, t), full_seq, memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, block_k=block_k, scale=scale),
+        grid=(n, t // block_q),
+        in_specs=[stat_full, row_blk_q, seq_ref, seq_ref, row_blk_q,
+                  stat_blk_q, stat_blk_q],
+        out_specs=row_blk_q,
+        out_shape=jax.ShapeDtypeStruct((n, t, d), q.dtype),
+        interpret=interpret,
+    )(bias3, q, k, v, g, lse, delta)
+
+    row_blk_k = pl.BlockSpec((1, block_k, d), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM)
+    bias_blk_k = pl.BlockSpec((1, 1, block_k), lambda b, i: (b, 0, i),
+                              memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, block_q=block_q, scale=scale),
+        grid=(n, t // block_k),
+        in_specs=[bias_blk_k, seq_ref, row_blk_k, row_blk_k, seq_ref,
+                  stat_full, stat_full],
+        out_specs=[row_blk_k, row_blk_k],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, t, d), k.dtype),
+            jax.ShapeDtypeStruct((n, t, d), v.dtype),
+        ],
+        interpret=interpret,
+    )(bias3, q, k, v, g, lse, delta)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_attention(q, k, v, key_bias, scale, block_q, block_k, interpret):
+    out, _ = _fwd_impl(q, k, v, key_bias, scale, block_q, block_k, interpret)
+    return out
+
+
+def _flash_attention_fwd(q, k, v, key_bias, scale, block_q, block_k, interpret):
+    out, lse = _fwd_impl(q, k, v, key_bias, scale, block_q, block_k, interpret)
+    return out, (q, k, v, key_bias, out, lse)
+
+
+def _flash_attention_bwd(scale, block_q, block_k, interpret, res, g):
+    q, k, v, key_bias, out, lse = res
+    dq, dk, dv = _bwd_impl(q, k, v, key_bias, out, lse, g, scale, block_q,
+                           block_k, interpret)
+    return dq, dk, dv, jnp.zeros_like(key_bias)
+
+
+_flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
 
 
 @functools.partial(
@@ -70,30 +265,8 @@ def flash_attention(
     block_k: int = 128,
     interpret: bool | None = None,
 ) -> jax.Array:
-    n, t, d = q.shape
-    if t % block_q or t % block_k:
-        raise ValueError(f"sequence length {t} must be a multiple of the block size")
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-
-    grid = (n, t // block_q)
-    return pl.pallas_call(
-        functools.partial(_flash_kernel, block_k=block_k, scale=scale),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, t), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, d), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, d), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, t, d), q.dtype),
-        interpret=interpret,
-    )(key_bias[:, None, :], q, k, v)
+    return _flash_attention(q, k, v, key_bias, scale, block_q, block_k,
+                            interpret)
 
 
 def mha_flash(

@@ -1,0 +1,111 @@
+"""Training-step benchmark at realistic shapes on the flagship model (real TPU).
+
+Workload matches the reference run configuration (script/train.py:175-177):
+AV-HuBERT-large joint CTC/attention fine-tuning, per-device batch 6, clips up
+to 15 s (375 video frames, padded to the 384 bucket), bf16 compute with fp32
+master weights, AdamW + clip. The reference trains this at ~4.7 samples/s per
+Titan RTX (56 h/epoch over 1.9M samples on 2 GPUs, README).
+
+Reports samples/s/chip and an MFU estimate from XLA's own cost analysis
+(compiled-step FLOPs / wall time / chip peak).
+
+Usage: python bench_train.py [--frames 384] [--batch 6] [--no-flash] [--fp32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+V5E_PEAK_BF16 = 197e12  # TPU v5e (v5 lite) chip peak, bf16 FLOP/s
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=384)
+    ap.add_argument("--batch", type=int, default=6)
+    ap.add_argument("--labels", type=int, default=48)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--no-flash", action="store_true")
+    ap.add_argument("--fp32", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    from avsr_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax.numpy as jnp
+
+    from avsr_tpu.core.config import AVHubertAVSRConfig
+    from avsr_tpu.core.mesh import make_mesh, shard_batch
+    from avsr_tpu.train import trainer as T
+
+    cfg = AVHubertAVSRConfig()
+    cfg.encoder.use_flash_attention = not args.no_flash
+    tcfg = T.TrainConfig(
+        compute_dtype="float32" if args.fp32 else "bfloat16", grad_accum=1
+    )
+
+    b, t, l = args.batch, args.frames, args.labels
+    rng = np.random.RandomState(0)
+    batch = {
+        "videos": rng.randn(b, t, 88, 88, 1).astype(np.float32),
+        "audios": rng.randn(b, t, 104).astype(np.float32),
+        "labels": np.tile(rng.randint(1, 5000, (1, l)), (b, 1)).astype(np.int32),
+        "video_lengths": np.full((b,), t, np.int32),
+        "label_lengths": np.full((b,), l, np.int32),
+    }
+
+    mesh = make_mesh()
+    model, state = T.init_state(cfg, tcfg, jax.random.PRNGKey(0), batch)
+    tx = T.make_optimizer(tcfg)
+    st_sh = T.train_state_shardings(state, mesh)
+    step_fn = T.make_parallel_train_step(model, tx, mesh, tcfg.compute_dtype, st_sh)
+    state = T.replicate_state(state, mesh)
+    device_batch = shard_batch(batch, mesh)
+    key = jax.random.PRNGKey(1)
+
+    # compile + collect XLA's FLOP estimate for the whole fused step
+    lowered = step_fn.lower(state, device_batch, key)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    flops = float(cost.get("flops", 0.0)) if cost else 0.0
+
+    state, metrics = step_fn(state, device_batch, key)
+    jax.block_until_ready(metrics)
+
+    start = time.perf_counter()
+    for i in range(args.steps):
+        state, metrics = step_fn(state, device_batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(metrics)
+    elapsed = (time.perf_counter() - start) / args.steps
+
+    n_chips = jax.device_count()
+    samples_per_s = b / elapsed
+    mfu = flops / elapsed / (V5E_PEAK_BF16 * n_chips) if flops else -1.0
+    print(
+        json.dumps(
+            {
+                "metric": "train_step",
+                "sec_per_step": round(elapsed, 4),
+                "samples_per_sec_per_chip": round(samples_per_s / n_chips, 2),
+                "batch": b,
+                "frames": t,
+                "compute_dtype": tcfg.compute_dtype,
+                "flash_attention": cfg.encoder.use_flash_attention,
+                "step_tflops": round(flops / 1e12, 2),
+                "mfu_vs_v5e_peak": round(mfu, 4),
+                "loss": round(float(metrics["loss"]), 3),
+                "grad_norm": round(float(metrics["grad_norm"]), 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -356,3 +356,92 @@ def test_shared_src_kv_matches_unshared(setup):
     )
     np.testing.assert_array_equal(np.asarray(yseq)[: int(length)], y_ref)
     np.testing.assert_allclose(score, s_ref, rtol=1e-5)
+
+
+def _lazy_beam(jmodel, variables, jcfg, x, beam_size=3, **cfg_kw):
+    """Beam search in the serving configuration: lazy reorder + shared src KV."""
+    feats = jnp.asarray(x)
+    ctc_logp = jmodel.apply(variables, feats[None], method="ctc_log_probs")[0]
+    bcfg = BeamSearchConfig(
+        beam_size=beam_size, ctc_weight=0.1, sos=jcfg.sos, eos=jcfg.eos,
+        vocab=jcfg.odim, shared_src_kv=True, lazy_reorder=True, **cfg_kw,
+    )
+
+    def dec_step(y, pos, cache, mem_mask, lane_bias=None):
+        return jmodel.apply(
+            variables, y, pos, cache, mem_mask, lane_bias, method="decoder_step"
+        )
+
+    def dec_init(memory, maxlen, beam=1):
+        return jmodel.apply(variables, memory, maxlen, beam, method="decoder_init")
+
+    yseq, length, score = beam_search(
+        bcfg, dec_step, dec_init, feats, ctc_logp, jnp.asarray(x.shape[0])
+    )
+    return np.asarray(yseq)[: int(length)], float(score)
+
+
+@pytest.mark.parametrize("seed,t", [(71, 14), (73, 20), (79, 9)])
+def test_lazy_reorder_matches_eager(setup, seed, t):
+    """Ancestry-resolved attention must be token- and score-identical to
+    physically reordered caches."""
+    tmodel, jmodel, variables, jcfg = setup
+    rng = np.random.RandomState(seed)
+    x = (rng.randn(t, 32) * 2.0).astype(np.float32)
+    y_ref, s_ref = _our_beam(jmodel, variables, jcfg, x)
+    y_lazy, s_lazy = _lazy_beam(jmodel, variables, jcfg, x)
+    np.testing.assert_array_equal(y_lazy, y_ref)
+    np.testing.assert_allclose(s_lazy, s_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_lazy_reorder_serving_config_matches_torch(setup):
+    """Full serving stack (lazy reorder + shared src KV + KV cap) stays
+    token-exact vs the reference BatchBeamSearch."""
+    tmodel, jmodel, variables, jcfg = setup
+    rng = np.random.RandomState(83)
+    x = (rng.randn(18, 32) * 2.0).astype(np.float32)
+    ref_yseq, ref_score = _reference_beam(tmodel, x)
+    y, s = _lazy_beam(jmodel, variables, jcfg, x, max_decode_tokens=16)
+    np.testing.assert_array_equal(y, ref_yseq)
+    np.testing.assert_allclose(s, ref_score, rtol=1e-3, atol=1e-3)
+
+
+def test_lazy_reorder_batched_mixed_lengths(setup):
+    """Batched lazy decode, each utterance a different length, must match the
+    per-utterance eager result (exercises ancestry under divergent beams and
+    padded lanes)."""
+    from avsr_tpu.decode.beam import beam_search_batched
+
+    tmodel, jmodel, variables, jcfg = setup
+    rng = np.random.RandomState(97)
+    t_max = 20
+    lens = [20, 13, 7]
+    xs = [(rng.randn(t, 32) * 2.0).astype(np.float32) for t in lens]
+
+    singles = [_our_beam(jmodel, variables, jcfg, x) for x in xs]
+
+    feats = np.zeros((len(xs), t_max, 32), np.float32)
+    for i, x in enumerate(xs):
+        feats[i, : len(x)] = x
+    feats = jnp.asarray(feats)
+    ctc_logp = jmodel.apply(variables, feats, method="ctc_log_probs")
+    bcfg = BeamSearchConfig(
+        beam_size=3, ctc_weight=0.1, sos=jcfg.sos, eos=jcfg.eos,
+        vocab=jcfg.odim, shared_src_kv=True, lazy_reorder=True,
+    )
+
+    def dec_step(y, pos, cache, mem_mask, lane_bias=None):
+        return jmodel.apply(
+            variables, y, pos, cache, mem_mask, lane_bias, method="decoder_step"
+        )
+
+    def dec_init(memory, maxlen, beam=1):
+        return jmodel.apply(variables, memory, maxlen, beam, method="decoder_init")
+
+    yseqs, lengths, scores = beam_search_batched(
+        bcfg, dec_step, dec_init, feats, ctc_logp, jnp.asarray(lens)
+    )
+    for i, (y_ref, s_ref) in enumerate(singles):
+        got = np.asarray(yseqs[i])[: int(lengths[i])]
+        np.testing.assert_array_equal(got, y_ref, err_msg=f"utt {i}")
+        np.testing.assert_allclose(float(scores[i]), s_ref, rtol=1e-4, atol=1e-4)

@@ -1,0 +1,167 @@
+"""Flagship-scale correctness anchor (opt-in: AVSR_SLOW_TESTS=1).
+
+Every regular parity test runs a 32-d/2-layer model; flagship-scale numerics
+(24x1024 encoder scan, the real conv-pos-emb kernel k=128/groups=16, bf16
+decode caches, 5049-way softmax over 375 frames) are exactly where
+fp32->bf16 drift and mask-edge bugs would hide. These tests build the
+reference torch model at the real released configuration
+(/root/reference/src/avhubert_avsr/configuration_avhubert_avsr.py:18-194)
+with seeded random weights and check:
+
+  1. encoder forward parity at T=375 with Pallas flash attention on;
+  2. token-exact joint CTC/attention beam decode at T=375 in the full
+     serving configuration (bf16 caches + bf16 decode params + shared
+     src-KV + lazy beam reorder + 192-token KV cap) vs the reference
+     BatchBeamSearch.
+
+Single-core CPU runtime is ~15-30 min; run with
+  AVSR_SLOW_TESTS=1 python -m pytest tests/test_flagship_scale.py -v
+Results are recorded in BASELINE.md / PARITY.md.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import requires_reference
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from avsr_tpu.core.checkpoint import torch_to_flax  # noqa: E402
+from avsr_tpu.decode.beam import BeamSearchConfig, beam_search  # noqa: E402
+from avsr_tpu.models.e2e import AVSRModel  # noqa: E402
+
+pytestmark = [
+    requires_reference,
+    pytest.mark.skipif(
+        not os.environ.get("AVSR_SLOW_TESTS"),
+        reason="flagship-scale anchor is opt-in (AVSR_SLOW_TESTS=1); ~20 min on CPU",
+    ),
+]
+
+FRAMES = 375  # 15 s * 25 fps, the reference --max_length cap
+
+FLAGSHIP_KW = dict(
+    odim=5049,
+    adim=1024,
+    ddim=1024,
+    dheads=16,
+    dunits=3072,
+    dlayers=6,
+    encoder_embed_dim=1024,
+    num_hidden_layers=24,
+    num_attention_heads=16,
+    hidden_size=1024,
+    intermediate_size=4096,
+    num_conv_pos_embeddings=128,
+    num_conv_pos_embedding_groups=16,
+)
+
+
+def flagship_jax_config(**overrides):
+    from avsr_tpu.core.config import AVHubertAVSRConfig, AVHubertEncoderConfig
+
+    cfg = AVHubertAVSRConfig(
+        odim=5049, adim=1024, ddim=1024, dheads=16, dunits=3072, dlayers=6,
+        encoder=AVHubertEncoderConfig(
+            encoder_embed_dim=1024,
+            num_hidden_layers=24,
+            num_attention_heads=16,
+            intermediate_size=4096,
+            num_conv_pos_embeddings=128,
+            num_conv_pos_embedding_groups=16,
+        ),
+    )
+    for k, v in overrides.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def flagship():
+    from tests.torch_ref import build_reference_model, numpy_state_dict
+
+    tcfg, tmodel = build_reference_model(seed=5, **FLAGSHIP_KW)
+    jcfg = flagship_jax_config()
+    variables = torch_to_flax(numpy_state_dict(tmodel), jcfg)
+    return tmodel, jcfg, variables
+
+
+def test_flagship_encoder_forward_t375(flagship):
+    """24x1024 encoder with flash attention, full 375-frame input."""
+    import torch
+
+    tmodel, jcfg, variables = flagship
+    rng = np.random.RandomState(7)
+    video_t = rng.randn(1, 1, FRAMES, 88, 88).astype(np.float32)
+    audio_t = rng.randn(1, 104, FRAMES).astype(np.float32)
+    with torch.no_grad():
+        out_t = tmodel.avsr.encoder(
+            input_features=torch.from_numpy(audio_t),
+            video=torch.from_numpy(video_t),
+        ).last_hidden_state.numpy()
+
+    jcfg.encoder.use_flash_attention = True
+    jmodel = AVSRModel(jcfg)
+    videos = jnp.asarray(np.transpose(video_t, (0, 2, 3, 4, 1)))
+    audios = jnp.asarray(np.transpose(audio_t, (0, 2, 1)))
+    out_j = np.asarray(jmodel.apply(variables, audios, videos, None, method="encode"))
+    assert out_j.shape == out_t.shape == (1, FRAMES, 1024)
+    # 24 layers of fp32 accumulation differences: compare against the
+    # activation scale, and report the worst offender on failure
+    scale = np.abs(out_t).mean()
+    err = np.abs(out_j - out_t).max()
+    assert err < 5e-3 * max(scale, 1.0), f"max abs err {err} (scale {scale})"
+
+
+def test_flagship_beam_decode_t375_token_exact(flagship):
+    """Full-length beam decode, serving config, token-exact vs reference."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    import torch
+
+    from src.avhubert_avsr.avhubert_avsr_model import get_beam_search_decoder
+
+    tmodel, jcfg, variables = flagship
+    rng = np.random.RandomState(11)
+    x = (rng.randn(FRAMES, 1024) * 2.0).astype(np.float32)
+
+    token_list = [f"tok{i}" for i in range(jcfg.odim)]
+    bs = get_beam_search_decoder(
+        tmodel.avsr, token_list, ctc_weight=0.1, beam_size=3
+    )
+    with torch.no_grad():
+        best = bs(torch.from_numpy(x))[0]
+    ref_yseq, ref_score = np.asarray(best.yseq), float(best.score)
+
+    jcfg.decoder_cache_dtype = "bfloat16"
+    jcfg.decoder_param_dtype = "bfloat16"
+    jmodel = AVSRModel(jcfg)
+    feats = jnp.asarray(x)
+    ctc_logp = jmodel.apply(variables, feats[None], method="ctc_log_probs")[0]
+    bcfg = BeamSearchConfig(
+        beam_size=3, ctc_weight=0.1, sos=jcfg.sos, eos=jcfg.eos,
+        vocab=jcfg.odim, shared_src_kv=True, lazy_reorder=True,
+        max_decode_tokens=192,
+    )
+
+    def dec_step(y, pos, cache, mem_mask, lane_bias=None):
+        return jmodel.apply(
+            variables, y, pos, cache, mem_mask, lane_bias, method="decoder_step"
+        )
+
+    def dec_init(memory, maxlen, beam=1):
+        return jmodel.apply(variables, memory, maxlen, beam, method="decoder_init")
+
+    yseq, length, score = beam_search(
+        bcfg, dec_step, dec_init, feats, ctc_logp, jnp.asarray(FRAMES)
+    )
+    got = np.asarray(yseq)[: int(length)]
+    assert len(got) == len(ref_yseq), (
+        f"hypothesis length {len(got)} vs reference {len(ref_yseq)}"
+    )
+    np.testing.assert_array_equal(got, ref_yseq)
+    np.testing.assert_allclose(score, ref_score, rtol=5e-3, atol=1.0)

@@ -77,3 +77,65 @@ def test_encoder_flash_matches_eager():
         np.testing.assert_allclose(
             got[b][valid[b]], want[b][valid[b]], rtol=2e-4, atol=2e-4
         )
+
+
+def test_flash_grads_match_eager():
+    """Backward kernels (custom_vjp) vs autodiff through the dense path."""
+    rng = np.random.RandomState(3)
+    n, t, d = 3, 256, 64
+    q = jnp.asarray(rng.randn(n, t, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(n, t, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(n, t, d).astype(np.float32))
+    # mixed padding per row, including one fully-valid row
+    bias = jnp.zeros((n, t), jnp.float32)
+    bias = bias.at[1, 180:].set(-1e30).at[2, 64:].set(-1e30)
+    w = jnp.asarray(rng.randn(n, t, d).astype(np.float32))  # cotangent shaper
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, bias, scale=0.125) * w)
+
+    def loss_eager(q, k, v):
+        return jnp.sum(eager(q, k, v, bias, 0.125) * w)
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_eager, argnums=(0, 1, 2))(q, k, v)
+    for g, wnt, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(wnt), rtol=2e-4, atol=2e-4,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_encoder_flash_grads_match_eager():
+    """End-to-end encoder gradients: flash vs dense, shared weights."""
+    from avsr_tpu.core.config import AVHubertEncoderConfig
+    from avsr_tpu.models.avhubert import AVHubertTransformer
+
+    rng = np.random.RandomState(4)
+    kw = dict(
+        encoder_embed_dim=128, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, hidden_dropout=0.0,
+        attention_dropout=0.0, dropout_input=0.0,
+    )
+    cfg_e = AVHubertEncoderConfig(**kw)
+    cfg_f = AVHubertEncoderConfig(**kw, use_flash_attention=True)
+    x = jnp.asarray(rng.randn(2, 128, 128).astype(np.float32))
+    mask = jnp.asarray(np.arange(128)[None, :] < np.array([128, 100])[:, None])
+    m_e, m_f = AVHubertTransformer(cfg_e), AVHubertTransformer(cfg_f)
+    variables = m_e.init(jax.random.PRNGKey(0), x, mask)
+
+    def loss(model, params):
+        out = model.apply({"params": params}, x, mask)
+        return jnp.sum((out * mask[..., None]) ** 2)
+
+    ge = jax.grad(lambda p: loss(m_e, p))(variables["params"])
+    gf = jax.grad(lambda p: loss(m_f, p))(variables["params"])
+    flat_e = jax.tree_util.tree_leaves_with_path(ge)
+    flat_f = jax.tree_util.tree_leaves_with_path(gf)
+    for (pe, le), (pf, lf) in zip(flat_e, flat_f):
+        assert pe == pf
+        np.testing.assert_allclose(
+            np.asarray(lf), np.asarray(le), rtol=5e-4, atol=5e-4,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(pe)}",
+        )
