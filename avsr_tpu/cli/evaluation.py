@@ -126,6 +126,9 @@ class InferenceEngine:
         cfg.encoder.use_flash_attention = self.model_kwargs.get(
             "use_flash_attention", jax.default_backend() == "tpu"
         )
+        cfg.decode_fused_attention = self.model_kwargs.get(
+            "decode_fused_attention", True
+        )
         self.recognizer = Recognizer(
             model=AVSRModel(cfg), variables=variables, cfg=cfg,
             beam_size=self.beam_size,

@@ -75,6 +75,9 @@ class AVHubertAVSRConfig:
     # decode-path weight/activation dtype (bfloat16 for fast serving;
     # softmax and log-softmax stay fp32)
     decoder_param_dtype: str = "float32"
+    # fused Pallas decode-step self-attention (in-place KV row writes +
+    # prefix-bounded reads); requires the lazy-reorder beam search
+    decode_fused_attention: bool = False
     encoder: AVHubertEncoderConfig = field(default_factory=AVHubertEncoderConfig)
 
     @property

@@ -46,6 +46,11 @@ class Recognizer:
     # self-KV buffer cap (see BeamSearchConfig.max_decode_tokens);
     # None = reference-exact frame-count-sized buffer
     max_decode_tokens: int | None = None
+    # data-parallel decode: shard the batch dim of the encoder + beam
+    # programs over the mesh's 'data' axis (weights replicated). Eval WER
+    # sweeps then scale with chips — each chunk is one batch element
+    # (SURVEY §5.7). None = single-device.
+    mesh: object | None = None
     _encode_cache: dict = field(default_factory=dict, repr=False)
     _beam_cache: dict = field(default_factory=dict, repr=False)
     _greedy_cache: dict = field(default_factory=dict, repr=False)
@@ -59,6 +64,20 @@ class Recognizer:
 
     # ---------------- jitted stages (cached per shape) ----------------
 
+    def _shardings(self, n_batch_args: int):
+        """(in_shardings, out_shardings) kwargs for a decode-stage jit:
+        variables replicated, batch-leading args/results on the data axis."""
+        if self.mesh is None:
+            return {}
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(self.mesh, P())
+        data = NamedSharding(self.mesh, P("data"))
+        return {
+            "in_shardings": (repl,) + (data,) * n_batch_args,
+            "out_shardings": data,
+        }
+
     def _encode_fn(self):
         # NOTE: variables are a traced argument, never a closure constant —
         # closed-over weights become XLA constants and constant-folding the
@@ -66,7 +85,7 @@ class Recognizer:
         if "fn" not in self._encode_cache:
             model = self.model
 
-            @jax.jit
+            @functools.partial(jax.jit, **self._shardings(3))
             def run(variables, audios, videos, lengths):
                 if videos.dtype == jnp.uint8:
                     # crops travel host->device as uint8 (4x less transfer
@@ -102,7 +121,7 @@ class Recognizer:
             )
             model = self.model
 
-            @jax.jit
+            @functools.partial(jax.jit, **self._shardings(3))
             def run(variables, feats, ctc_logp, xlens):
                 def dec_step(y, pos, cache, mem_mask, lane_bias=None):
                     return model.apply(
@@ -124,8 +143,12 @@ class Recognizer:
 
     def _greedy_fn(self):
         if "fn" not in self._greedy_cache:
+            sh = self._shardings(2)
+            if sh:
+                sh["in_shardings"] = sh["in_shardings"][1:]  # no variables arg
             self._greedy_cache["fn"] = jax.jit(
-                jax.vmap(functools.partial(greedy_ctc, blank=self.cfg.blank))
+                jax.vmap(functools.partial(greedy_ctc, blank=self.cfg.blank)),
+                **sh,
             )
         return self._greedy_cache["fn"]
 
@@ -140,6 +163,9 @@ class Recognizer:
         lengths = np.asarray([len(v) for v in videos], np.int32)
         t_b = pick_bucket(self.t_buckets, int(lengths.max()))
         b = batch_pad or len(videos)
+        if self.mesh is not None:
+            n_data = self.mesh.shape["data"]
+            b = -(-b // n_data) * n_data  # round up to a shardable batch
         vdtype = np.uint8 if videos[0].dtype == np.uint8 else np.float32
         aud = np.zeros((b, t_b * self.audio_rate, self.audio_dim), np.float32)
         vid = np.zeros((b, t_b, 88, 88, 1), vdtype)

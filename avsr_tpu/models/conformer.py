@@ -341,6 +341,8 @@ class ConformerAVSR(nn.Module):
     cnn_kernel: int = 31
     lsm_weight: float = 0.1
     mtlalpha: float = 0.1
+    # fused Pallas decode-step self-attention (lazy-reorder beam only)
+    decode_fused_attention: bool = False
 
     @property
     def sos(self):
@@ -370,6 +372,7 @@ class ConformerAVSR(nn.Module):
             odim=self.odim, dim=self.ddim, heads=self.dheads,
             units=self.dunits, layers=self.dlayers,
             dropout=self.dropout, attn_dropout=self.attn_dropout,
+            fused_decode_attention=self.decode_fused_attention,
         )
 
     def encode(self, audios, videos, lengths=None, train: bool = False):
@@ -434,6 +437,8 @@ class ConformerASR(nn.Module):
     cnn_kernel: int = 31
     lsm_weight: float = 0.1
     mtlalpha: float = 0.1
+    # fused Pallas decode-step self-attention (lazy-reorder beam only)
+    decode_fused_attention: bool = False
     input_layer: str = "conv1d"  # 'conv1d' (ASR) | 'conv3d' (VSR)
 
     @property
@@ -454,6 +459,7 @@ class ConformerASR(nn.Module):
             odim=self.odim, dim=self.ddim, heads=self.dheads,
             units=self.dunits, layers=self.dlayers,
             dropout=self.dropout, attn_dropout=self.attn_dropout,
+            fused_decode_attention=self.decode_fused_attention,
         )
 
     def encode(self, xs, lengths=None, train: bool = False):

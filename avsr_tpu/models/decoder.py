@@ -201,20 +201,52 @@ class DecoderLayer(nn.Module):
         memory_mask: Optional[jax.Array],  # (B, 1, S)
         lane_bias: Optional[jax.Array] = None,  # (B, K, K, maxlen) lazy reorder
     ):
-        maxlen = self_kv.shape[0]
         residual = x_t
         h = self.norm1(x_t)
         k_t, v_t = self.self_attn.project_kv(h, h)  # (B,1,H,Dh)
-        # one contiguous (1,B,2,H,Dh) row write into the seq-major cache
-        kv_t = jnp.stack([k_t[:, 0], v_t[:, 0]], axis=1)[None].astype(self_kv.dtype)
-        self_kv = jax.lax.dynamic_update_slice_in_dim(self_kv, kv_t, pos, axis=0)
-        if lane_bias is not None:
-            # causal mask + ancestor-lane selection are folded into lane_bias
-            h = self.self_attn.attend_kv_lazy(h, self_kv, lane_bias)
+        if isinstance(self_kv, tuple):
+            # fused Pallas decode attention over (N, S, H*Dh) K/V buffers:
+            # the row write stays an XLA dynamic-update-slice (the kernel is
+            # the cache's only consumer, so layout assignment keeps rows
+            # contiguous); the kernel streams rows [0, pos] with an
+            # online softmax. lane_bias arrives in kernel (B, K, S, J) layout.
+            from avsr_tpu.ops.pallas.decode_attention import decode_attention
+
+            k_cache, v_cache = self_kv
+            n = x_t.shape[0]
+            d_k = self.dim // self.heads
+            q = self.self_attn._split(self.self_attn.linear_q(h))
+            q = (q * d_k ** -0.5).reshape(n, self.dim)
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k_t.reshape(n, 1, self.dim).astype(k_cache.dtype),
+                (0, pos, 0),
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v_t.reshape(n, 1, self.dim).astype(v_cache.dtype),
+                (0, pos, 0),
+            )
+            out = decode_attention(
+                pos, q, k_cache, v_cache, lane_bias,
+                lanes=lane_bias.shape[1], heads=self.heads,
+            )
+            h = self.self_attn.linear_out(out[:, None, :].astype(h.dtype))
+            self_kv = (k_cache, v_cache)
         else:
-            causal = (jnp.arange(maxlen) <= pos)[None, None, :]  # (1,1,S)
-            causal = jnp.broadcast_to(causal, (x_t.shape[0], 1, maxlen))
-            h = self.self_attn.attend_kv_major(h, self_kv, causal)
+            maxlen = self_kv.shape[0]
+            # one contiguous (1,B,2,H,Dh) row write into the seq-major cache
+            kv_t = jnp.stack(
+                [k_t[:, 0], v_t[:, 0]], axis=1
+            )[None].astype(self_kv.dtype)
+            self_kv = jax.lax.dynamic_update_slice_in_dim(
+                self_kv, kv_t, pos, axis=0
+            )
+            if lane_bias is not None:
+                # causal mask + ancestor-lane selection folded into lane_bias
+                h = self.self_attn.attend_kv_lazy(h, self_kv, lane_bias)
+            else:
+                causal = (jnp.arange(maxlen) <= pos)[None, None, :]  # (1,1,S)
+                causal = jnp.broadcast_to(causal, (x_t.shape[0], 1, maxlen))
+                h = self.self_attn.attend_kv_major(h, self_kv, causal)
         x = residual + h
 
         residual = x
@@ -299,6 +331,9 @@ class TransformerDecoder(nn.Module):
     # decode-path parameter/activation dtype (softmax and final log-softmax
     # stay fp32); bfloat16 halves weight reads and runs single-pass MXU
     decode_param_dtype: str = "float32"
+    # fused Pallas decode-step self-attention (requires lazy beam reorder):
+    # in-place KV row writes + prefix-bounded reads (ops/pallas/decode_attention)
+    fused_decode_attention: bool = False
 
     def setup(self):
         self.embed = nn.Embed(self.odim, self.dim)
@@ -358,7 +393,15 @@ class TransformerDecoder(nn.Module):
         )
         cdtype = jnp.dtype(self.cache_dtype)
         pdtype = jnp.dtype(self.decode_param_dtype)
-        zeros = jnp.zeros((maxlen, b, 2, self.heads, dh), cdtype)
+        if self.fused_decode_attention:
+            # separate K/V (N, S, H*Dh) buffers: lanes lead so the kernel's
+            # per-utterance DMA slices the untiled major dim
+            zeros = (
+                jnp.zeros((b, maxlen, self.dim), cdtype),
+                jnp.zeros((b, maxlen, self.dim), cdtype),
+            )
+        else:
+            zeros = jnp.zeros((maxlen, b, 2, self.heads, dh), cdtype)
         stacked = self.blocks.variables["params"]
         # split the scan-stacked src K/V (and parameters) into per-layer
         # buffers once, outside the decode loop (see DecoderCache docstring)
@@ -382,13 +425,23 @@ class TransformerDecoder(nn.Module):
         lane_bias: Optional[jax.Array] = None,  # (B, K, K, maxlen) lazy reorder
     ):
         """One decode step: returns (log-probs (B, V), updated cache)."""
+        first = cache.self_kv[0]
+        kv_len = first[0].shape[1] if isinstance(first, tuple) else first.shape[0]
+        if self.fused_decode_attention:
+            if lane_bias is None:
+                raise ValueError(
+                    "fused_decode_attention requires lazy beam reorder "
+                    "(BeamSearchConfig.lazy_reorder) supplying lane_bias"
+                )
+            # kernel layout: (B, K, J, S) -> (B, K, S, J); validity (s <= pos
+            # on the ancestor lane) is unchanged — the current row is written
+            # before the kernel reads
+            lane_bias = jnp.swapaxes(lane_bias, 2, 3)
         x = self.embed(y_t)[:, None, :] * math.sqrt(self.dim)
         # PE table sized past the KV buffer: with a capped cache the position
         # index can exceed the buffer length (degenerate >cap hyps); the table
         # is shape-only, so XLA constant-folds it outside the decode loop
-        pe = sinusoidal_pe(
-            max(self.max_decode_len, cache.self_kv[0].shape[0]), self.dim, x.dtype
-        )
+        pe = sinusoidal_pe(max(self.max_decode_len, kv_len), self.dim, x.dtype)
         x = x + jax.lax.dynamic_slice_in_dim(pe, pos, 1, axis=1)
         x = x.astype(jnp.dtype(self.decode_param_dtype))
         # manual unrolled loop over the pre-sliced per-layer parameters in

@@ -56,6 +56,7 @@ class AVSRModel(nn.Module):
                 attn_dropout=c.transformer_attn_dropout_rate,
                 cache_dtype=getattr(c, "decoder_cache_dtype", "float32"),
                 decode_param_dtype=getattr(c, "decoder_param_dtype", "float32"),
+                fused_decode_attention=getattr(c, "decode_fused_attention", False),
             )
         if c.adim != c.ddim:
             self.proj_decoder = nn.Dense(c.ddim)

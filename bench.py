@@ -43,6 +43,7 @@ def main() -> None:
 
     cfg = AVHubertAVSRConfig(decoder_cache_dtype="bfloat16", decoder_param_dtype="bfloat16")
     cfg.encoder.use_flash_attention = True
+    cfg.decode_fused_attention = True
     model = AVSRModel(cfg)
 
     rng = np.random.RandomState(0)

@@ -445,3 +445,45 @@ def test_lazy_reorder_batched_mixed_lengths(setup):
         got = np.asarray(yseqs[i])[: int(lengths[i])]
         np.testing.assert_array_equal(got, y_ref, err_msg=f"utt {i}")
         np.testing.assert_allclose(float(scores[i]), s_ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("seed,t", [(101, 14), (103, 20)])
+def test_fused_decode_attention_matches_eager(setup, seed, t):
+    """Fused Pallas decode-step kernel (in-place KV writes, prefix-bounded
+    reads) must match the physically-reordered XLA path token for token."""
+    from avsr_tpu.core.config import AVHubertAVSRConfig
+    from tests.torch_ref import tiny_jax_config
+
+    tmodel, jmodel, variables, jcfg = setup
+    rng = np.random.RandomState(seed)
+    x = (rng.randn(t, 32) * 2.0).astype(np.float32)
+    y_ref, s_ref = _our_beam(jmodel, variables, jcfg, x)
+
+    cfg_f = tiny_jax_config()
+    cfg_f.decode_fused_attention = True
+    jmodel_f = AVSRModel(cfg_f)
+    # chunk must divide the KV buffer (t + 2); use a cap that is a multiple
+    cap = 16
+    feats = jnp.asarray(x)
+    ctc_logp = jmodel_f.apply(variables, feats[None], method="ctc_log_probs")[0]
+    bcfg = BeamSearchConfig(
+        beam_size=3, ctc_weight=0.1, sos=cfg_f.sos, eos=cfg_f.eos,
+        vocab=cfg_f.odim, shared_src_kv=True, lazy_reorder=True,
+        max_decode_tokens=cap,
+    )
+
+    def dec_step(y, pos, cache, mem_mask, lane_bias=None):
+        return jmodel_f.apply(
+            variables, y, pos, cache, mem_mask, lane_bias, method="decoder_step"
+        )
+
+    def dec_init(memory, maxlen, beam=1):
+        return jmodel_f.apply(variables, memory, maxlen, beam,
+                              method="decoder_init")
+
+    yseq, length, score = beam_search(
+        bcfg, dec_step, dec_init, feats, ctc_logp, jnp.asarray(x.shape[0])
+    )
+    got = np.asarray(yseq)[: int(length)]
+    np.testing.assert_array_equal(got, y_ref)
+    np.testing.assert_allclose(score, s_ref, rtol=2e-4, atol=0.02)
