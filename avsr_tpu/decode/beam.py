@@ -137,6 +137,12 @@ def beam_search_batched(
     use_ctc = w_ctc > 0
 
     kv_len = min(buf_len, cfg.max_decode_tokens) if cfg.max_decode_tokens else buf_len
+    # round the KV buffer up to a multiple of 64: the fused decode-attention
+    # kernel streams the cache in large aligned chunks (>=2 chunks of >=96
+    # rows measured fastest; 3+ small chunks are pathological through
+    # Mosaic's dynamic chunk loop), and rows past the logical length are
+    # masked by the ancestry bias / never validated, so oversizing is free
+    kv_len = -(-kv_len // 64) * 64
     if cfg.shared_src_kv:
         # per-utterance memory; the decoder folds beam lanes into the
         # cross-attention query axis

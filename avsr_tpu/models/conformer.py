@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from avsr_tpu.models.decoder import LN_EPS, TransformerDecoder
-from avsr_tpu.models.resnet import PReLU, ResNetTrunk, _batch_norm, _relu_factory
+from avsr_tpu.models.resnet import PReLU, ResNetTrunk, StemConv3D, _batch_norm, _relu_factory
 from avsr_tpu.ops.ctc import ctc_loss, label_smoothing_loss, th_accuracy
 from avsr_tpu.ops.masks import add_sos_eos, make_non_pad_mask, target_mask
 
@@ -185,10 +185,9 @@ class Conv3dResNetFrontend(nn.Module):
     @nn.compact
     def __call__(self, video, train: bool = False):
         b, t = video.shape[:2]
-        x = nn.Conv(
-            64, (5, 7, 7), strides=(1, 2, 2),
-            padding=((2, 2), (3, 3), (3, 3)), use_bias=False, name="frontend_conv",
-        )(video)
+        # temporal-fold 2D formulation of the Conv3D stem (see
+        # resnet.StemConv3D for why the direct 3D conv is pathological on TPU)
+        x = StemConv3D(name="frontend_conv")(video)
         x = _batch_norm(train, "frontend_bn")(x)
         x = jax.nn.silu(x) if self.relu_type == "swish" else PReLU(64, name="frontend_prelu")(x)
         x = nn.max_pool(

@@ -110,6 +110,48 @@ class ResNetTrunk(nn.Module):
         return jnp.mean(x, axis=(1, 2))
 
 
+class StemConv3D(nn.Module):
+    """Conv3D(1->64, k=(5,7,7), s=(1,2,2), p=(2,3,3)) as a 2D conv.
+
+    XLA lowers the direct 3D conv with C_in=1 pathologically on TPU: the
+    (B,T,44,44,64) output gets a {4,0,3,2,1} layout whose (batch, channel)
+    tile pads 2x, and the conv itself runs at ~1% MXU utilization (88 ms at
+    B=8, and OOM at B=32 from an 11 GB padded temp). Folding the 5 temporal
+    taps into input channels is exact (temporal stride is 1) and turns the
+    stem into a 2D conv with C_in=5 over (B*T) frames: 5x faster, standard
+    NHWC layout, no padding blowup. The parameter keeps the torch-layout
+    (kt, kh, kw, 1, C_out) shape so checkpoint import/export is unchanged.
+    """
+
+    features: int = 64
+    kt: int = 5  # temporal taps (pad kt//2 each side)
+    kh: int = 7
+    kw: int = 7
+
+    @nn.compact
+    def __call__(self, video: jax.Array) -> jax.Array:  # (B, T, H, W, 1)
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kt, self.kh, self.kw, 1, self.features),
+        )
+        b, t, h, w, _ = video.shape
+        x = video[..., 0]
+        xt = jnp.pad(x, ((0, 0), (self.kt // 2, self.kt // 2), (0, 0), (0, 0)))
+        taps = [
+            jax.lax.dynamic_slice_in_dim(xt, dt, t, axis=1)
+            for dt in range(self.kt)
+        ]
+        xt = jnp.stack(taps, axis=-1).reshape(b * t, h, w, self.kt)
+        k2 = jnp.transpose(kernel[:, :, :, 0, :], (1, 2, 0, 3))  # (kh,kw,kt,CO)
+        out = jax.lax.conv_general_dilated(
+            xt, k2.astype(xt.dtype), window_strides=(2, 2),
+            padding=((self.kh // 2, self.kh // 2), (self.kw // 2, self.kw // 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out.reshape(b, t, h // 2, w // 2, self.features)
+
+
 class ResEncoder(nn.Module):
     """Video frontend: (B, T, H, W, 1) uint/float frames -> (B, T, 512)."""
 
@@ -118,14 +160,7 @@ class ResEncoder(nn.Module):
     @nn.compact
     def __call__(self, video: jax.Array, train: bool = False) -> jax.Array:
         b, t = video.shape[:2]
-        x = nn.Conv(
-            64,
-            kernel_size=(5, 7, 7),
-            strides=(1, 2, 2),
-            padding=((2, 2), (3, 3), (3, 3)),
-            use_bias=False,
-            name="frontend_conv",
-        )(video)
+        x = StemConv3D(name="frontend_conv")(video)
         x = _batch_norm(train, "frontend_bn")(x)
         x = PReLU(64, name="frontend_prelu")(x) if self.relu_type == "prelu" else _relu_factory(self.relu_type, 64)(x)
         # MaxPool3D k=(1,3,3) s=(1,2,2) p=(0,1,1): time dim untouched.

@@ -140,7 +140,7 @@ def decode_attention(
     lane_bias: jax.Array,  # (B, K, S, J): 0 on ancestor lanes with s <= pos
     lanes: int,
     heads: int,
-    chunk: int = 64,
+    chunk: int = 192,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Attention output (N, H*Dh). Read-only over the caches; always called
