@@ -21,6 +21,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_steps", type=int, default=2000)
     p.add_argument("--eval_steps", type=int, default=2000)
     p.add_argument("--log_interval", type=int, default=25)
+    p.add_argument("--dataloader_num_workers", type=int, default=10)
+    p.add_argument("--dataloader_use_processes", action="store_true", default=False,
+                   help="spawn process pool for collation (GIL-free; multi-chip hosts)")
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--warmup_steps", type=int, default=4000)
     p.add_argument("--resume_from_checkpoint", action="store_true", default=False)
@@ -137,13 +140,15 @@ def main():
 
     collator = DataCollator(
         text_transform=text_transform,
-        video_transform=VideoTransform("train"),
+        # uint8 crops end-to-end: 4x less host->device transfer, normalize
+        # fused into the jitted step (loss_fn)
+        video_transform=VideoTransform("train", device_norm=True),
         audio_transform=AudioTransform("train", sample_interferer=interferer),
         seed=11,
     )
     valid_collator = DataCollator(
         text_transform=text_transform,
-        video_transform=VideoTransform("test"),
+        video_transform=VideoTransform("test", device_norm=True),
         audio_transform=AudioTransform("test"),
     )
 
@@ -158,6 +163,8 @@ def main():
         save_steps=args.save_steps,
         eval_steps=args.eval_steps,
         log_interval=args.log_interval,
+        num_workers=args.dataloader_num_workers,
+        use_process_workers=args.dataloader_use_processes,
         report_to=args.report_to,
         run_name=args.checkpoint_name,
         profile_dir=args.profile_dir,

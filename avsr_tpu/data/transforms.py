@@ -123,8 +123,18 @@ class VideoTransform:
     def __call__(
         self, frames: np.ndarray, rng: Optional[np.random.RandomState] = None
     ) -> np.ndarray:
-        if self.device_norm and not self.train:
-            return center_crop(np.asarray(frames)).astype(np.uint8)
+        if self.device_norm:
+            # uint8 end-to-end: crop and time-mask commute with the /255 +
+            # normalize the device applies (masked spans are 0 either way,
+            # matching the reference order /255 -> crop -> mask -> normalize)
+            x = np.asarray(frames)
+            if x.dtype != np.uint8:
+                x = x.astype(np.uint8)
+            if self.train:
+                rng = rng or np.random.RandomState()
+                x = random_crop(x, rng)
+                return adaptive_time_mask(x, 10, 25, rng)
+            return center_crop(x)
         x = frames.astype(np.float32) / 255.0
         if self.train:
             rng = rng or np.random.RandomState()

@@ -128,6 +128,9 @@ def _load_native():
 
 
 _NATIVE = _load_native()
+# runtime switch (benchmarks/tests flip this to compare the numpy path
+# against the C++ featurizer without rebuilding)
+USE_NATIVE = True
 
 
 def fbank_stack_native(signal: np.ndarray) -> np.ndarray:
@@ -152,7 +155,7 @@ def fbank_stack_np(signal: np.ndarray) -> np.ndarray:
     Returns (ceil(T/4), 104) float32, matching FBanksAndStack.forward.
     Dispatches to the native C++ implementation when built.
     """
-    if _NATIVE is not None:
+    if _NATIVE is not None and USE_NATIVE:
         return fbank_stack_native(signal)
     feats = stack_frames_np(logfbank_np(signal))
     mean = feats.mean(axis=-1, keepdims=True)

@@ -140,11 +140,19 @@ def _cast_floats(tree, dtype):
 
 def loss_fn(model, params, batch_stats, batch, rngs, train: bool = True,
             compute_dtype: str = "float32"):
+    batch = dict(batch)
+    if batch["videos"].dtype == jnp.uint8:
+        # crops travel host->device as uint8 (VideoTransform(device_norm=True)):
+        # 4x less transfer and no host-side float normalize on the data plane;
+        # apply /255 + normalize here (same constants as the eval engine)
+        from avsr_tpu.data.transforms import VIDEO_MEAN, VIDEO_STD
+
+        v = batch["videos"].astype(jnp.float32) / 255.0
+        batch["videos"] = (v - VIDEO_MEAN) / VIDEO_STD
     if compute_dtype != "float32":
         dt = jnp.dtype(compute_dtype)
         params = _cast_floats(params, dt)
         batch_stats = _cast_floats(batch_stats, dt)
-        batch = dict(batch)
         for key in ("videos", "audios"):
             batch[key] = batch[key].astype(dt)
     variables = {"params": params, "batch_stats": batch_stats}

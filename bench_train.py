@@ -29,6 +29,7 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=6)
     ap.add_argument("--labels", type=int, default=48)
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--accum", type=int, default=1)
     ap.add_argument("--no-flash", action="store_true")
     ap.add_argument("--fp32", action="store_true")
     args = ap.parse_args()
@@ -47,7 +48,7 @@ def main() -> None:
     cfg = AVHubertAVSRConfig()
     cfg.encoder.use_flash_attention = not args.no_flash
     tcfg = T.TrainConfig(
-        compute_dtype="float32" if args.fp32 else "bfloat16", grad_accum=1
+        compute_dtype="float32" if args.fp32 else "bfloat16", grad_accum=args.accum
     )
 
     b, t, l = args.batch, args.frames, args.labels
@@ -59,14 +60,24 @@ def main() -> None:
         "video_lengths": np.full((b,), t, np.int32),
         "label_lengths": np.full((b,), l, np.int32),
     }
+    if args.accum > 1:
+        batch = {k: np.stack([v] * args.accum) for k, v in batch.items()}
 
     mesh = make_mesh()
-    model, state = T.init_state(cfg, tcfg, jax.random.PRNGKey(0), batch)
+    example = {k: v[0] for k, v in batch.items()} if args.accum > 1 else batch
+    model, state = T.init_state(cfg, tcfg, jax.random.PRNGKey(0), example)
     tx = T.make_optimizer(tcfg)
     st_sh = T.train_state_shardings(state, mesh)
-    step_fn = T.make_parallel_train_step(model, tx, mesh, tcfg.compute_dtype, st_sh)
-    state = T.replicate_state(state, mesh)
-    device_batch = shard_batch(batch, mesh)
+    if args.accum > 1:
+        from avsr_tpu.core.mesh import shard_accum_batch
+        step_fn = T.make_parallel_accum_train_step(
+            model, tx, mesh, tcfg.compute_dtype, st_sh)
+        device_batch = shard_accum_batch(batch, mesh)
+        state = T.replicate_state(state, mesh)
+    else:
+        step_fn = T.make_parallel_train_step(model, tx, mesh, tcfg.compute_dtype, st_sh)
+        state = T.replicate_state(state, mesh)
+        device_batch = shard_batch(batch, mesh)
     key = jax.random.PRNGKey(1)
 
     # compile + collect XLA's FLOP estimate for the whole fused step
@@ -77,16 +88,17 @@ def main() -> None:
     flops = float(cost.get("flops", 0.0)) if cost else 0.0
 
     state, metrics = step_fn(state, device_batch, key)
-    jax.block_until_ready(metrics)
+    float(metrics["loss"])  # D2H fetch: a true sync barrier (through the
+    # axon tunnel block_until_ready can return before execution finishes)
 
     start = time.perf_counter()
     for i in range(args.steps):
         state, metrics = step_fn(state, device_batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(metrics)
+    float(metrics["loss"])
     elapsed = (time.perf_counter() - start) / args.steps
 
     n_chips = jax.device_count()
-    samples_per_s = b / elapsed
+    samples_per_s = b * args.accum / elapsed
     mfu = flops / elapsed / (V5E_PEAK_BF16 * n_chips) if flops else -1.0
     print(
         json.dumps(

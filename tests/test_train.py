@@ -157,3 +157,39 @@ def test_tensor_parallel_train_step():
     assert np.isfinite(float(m_tp["loss"]))
     np.testing.assert_allclose(float(m_tp["loss"]), float(m_dp["loss"]), rtol=1e-4)
     assert int(state_tp.step) == 1
+
+
+def test_uint8_video_path_matches_float():
+    """uint8 crops + device-side normalize (loss_fn) must equal the host
+    float path: VideoTransform(device_norm=True) emits uint8 and the jitted
+    step applies /255 + (x-0.421)/0.165, matching the reference order."""
+    from avsr_tpu.data.transforms import VIDEO_MEAN, VIDEO_STD, VideoTransform
+    from avsr_tpu.train.trainer import loss_fn
+
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 256, size=(4, 96, 96, 1)).astype(np.uint8)
+    vt_u8 = VideoTransform("train", device_norm=True)
+    vt_f32 = VideoTransform("train")
+    u8 = vt_u8(frames, np.random.RandomState(7))
+    f32 = vt_f32(frames.astype(np.float32), np.random.RandomState(7))
+    assert u8.dtype == np.uint8
+    np.testing.assert_allclose(
+        (u8.astype(np.float32) / 255.0 - VIDEO_MEAN) / VIDEO_STD, f32,
+        rtol=1e-5, atol=1e-5,
+    )
+
+    cfg = tiny_cfg()
+    batch_f = make_batch(b=2, t=4)
+    batch_u = dict(batch_f)
+    vids_u8 = rng.randint(0, 256, size=(2, 4, 88, 88, 1)).astype(np.uint8)
+    batch_u["videos"] = jnp.asarray(vids_u8)
+    batch_f = dict(batch_f)
+    batch_f["videos"] = jnp.asarray(
+        (vids_u8.astype(np.float32) / 255.0 - VIDEO_MEAN) / VIDEO_STD
+    )
+    tcfg = TrainConfig(grad_accum=1)
+    model, state = init_state(cfg, tcfg, jax.random.PRNGKey(0), batch_f)
+    rngs = {"dropout": jax.random.PRNGKey(1), "modality": jax.random.PRNGKey(2)}
+    loss_u, _ = loss_fn(model, state.params, state.batch_stats, batch_u, rngs)
+    loss_f, _ = loss_fn(model, state.params, state.batch_stats, batch_f, rngs)
+    np.testing.assert_allclose(float(loss_u), float(loss_f), rtol=1e-5)
