@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--multihost", action="store_true", default=False,
                    help="call jax.distributed.initialize() for multi-host "
                         "training (each host reads its own data shards)")
+    p.add_argument("--scan_unroll", type=int, default=1,
+                   help="encoder layer-stack unroll factor (24 = fully "
+                        "unrolled; ~12%% faster steps, slower first compile)")
     p.add_argument("--profile_dir", type=str, default="",
                    help="write a jax profiler trace of steps 10-12 here")
     p.add_argument("--use_flash_attention", type=str, default="auto",
@@ -99,6 +102,7 @@ def main():
         model_cfg.encoder.use_flash_attention = args.use_flash_attention == "true"
     if model_cfg.encoder.use_flash_attention:
         print("Flash attention: on (attention-prob dropout skipped)")
+    model_cfg.encoder.scan_unroll = args.scan_unroll
 
     if args.synthetic_dataset:
         import jax

@@ -45,6 +45,10 @@ class AVHubertEncoderConfig:
     # materializes the attention-prob matrix, so attention_dropout is not
     # applied on this path; disable for reference-exact training dynamics.
     use_flash_attention: bool = False
+    # lax.scan unroll factor for the layer stack: 1 = pure scan (fastest
+    # compile), num_hidden_layers = fully unrolled body (lets XLA schedule
+    # across layers; measured faster at train time on TPU)
+    scan_unroll: int = 1
 
     @property
     def fused_dim(self) -> int:

@@ -192,6 +192,7 @@ class AVHubertTransformer(nn.Module):
             split_rngs={"params": True, "dropout": True},
             in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
             length=c.num_hidden_layers,
+            unroll=min(getattr(c, "scan_unroll", 1), c.num_hidden_layers),
         )(c, name="layers")
         x, _ = layers(x, bias_mask, padding_mask, deterministic)
         return nn.LayerNorm(epsilon=c.layer_norm_eps, name="final_norm")(x)

@@ -30,6 +30,7 @@ def main() -> None:
     ap.add_argument("--labels", type=int, default=48)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--accum", type=int, default=1)
+    ap.add_argument("--unroll", type=int, default=1)
     ap.add_argument("--no-flash", action="store_true")
     ap.add_argument("--fp32", action="store_true")
     args = ap.parse_args()
@@ -47,6 +48,7 @@ def main() -> None:
 
     cfg = AVHubertAVSRConfig()
     cfg.encoder.use_flash_attention = not args.no_flash
+    cfg.encoder.scan_unroll = args.unroll
     tcfg = T.TrainConfig(
         compute_dtype="float32" if args.fp32 else "bfloat16", grad_accum=args.accum
     )
