@@ -1,29 +1,35 @@
 """Fused Pallas decode-step self-attention with lazy beam reorder.
 
 Motivation (HLO profile of the beam loop at 98 audio-s/s): XLA lays the
-self-KV cache out position-minor ({0,4,3,2,1}) to suit the attention einsum,
-which turns every per-step KV row write (dynamic-update-slice) into a
-full-buffer rewrite — 6 layers x 0.16 ms = ~42% of the decode step. This
-kernel takes ownership of the attention read instead:
+self-KV cache out position-minor to suit the attention einsum, which turns
+every per-step KV row write (dynamic-update-slice) into a full-buffer
+rewrite — 6 layers x 0.16 ms = ~42% of the decode step. This kernel takes
+ownership of the attention read instead: caches are (N, S, H*Dh) with the
+lane dim leading, the per-step row write stays an XLA dynamic-update-slice
+(the kernel is the cache's only consumer, so layout assignment keeps rows
+contiguous), and beam ancestry (lazy reorder) is resolved by an additive
+bias, exactly as in models/decoder.py attend_kv_lazy.
 
-  - caches are (N, S, H*Dh) with the lane dim leading: Mosaic requires
-    DMA slices of the tiled (second-minor) dim to be 8-aligned, so the
-    per-utterance lane slice (K=3 lanes) must live on an untiled major dim;
-  - the per-step row write stays an XLA dynamic-update-slice, but since the
-    Pallas call is now the cache's only consumer, layout assignment keeps
-    the default layout where one row per lane is a contiguous 2 KB run —
-    not the full-buffer rewrite the einsum layout forced;
-  - attention reads stream only rows [0, pos] through VMEM in chunks with
-    an online-softmax accumulator: rows past the current position are never
-    read, halving average traffic vs. a full-buffer read;
-  - beam ancestry (lazy reorder) is resolved by a per-(lane, position)
-    additive bias, exactly as in models/decoder.py attend_kv_lazy.
+Formulation (v2): everything is expressed as a handful of large 2-D
+matmuls so the MXU does the work (v1 serialized 9 tiny (lane, ancestor)
+dot pairs per chunk and ran latency-bound at ~76 us/layer/step):
 
-Mosaic shape rules (head dim 64 is below the 128-lane tile, so vectors can
-never be shape-cast to (..., H, Dh)): everything stays 2-D on the packed
-1024-wide head-interleaved axis, and per-head structure enters through two
-constant 0/1 matmul matrices (seg: sum each head's 64-block to one column;
-segT: broadcast one per-head column across its 64-block).
+  rows    R = K_lanes * S       (one utterance's cache, lane-major rows)
+  cols    W = H * K             (head-major (head, lane) score columns)
+
+  Q_bd (C, W)   block-diagonal queries: col h*K+l holds lane l's query on
+                head h's Dh-block of the feature axis, zeros elsewhere —
+                built with two constant masks and one (C,K)x(K,W) matmul.
+  S    (R, W) = KV_rows (R, C) @ Q_bd            per-head scores
+  B    (R, W) = bias2 (R, K) @ rep (K, W)        ancestry bias, head-bcast
+  P    (R, W) = exp(S + B - colmax)              full softmax (no online
+                accumulation: the whole buffer sits in VMEM)
+  O_bd (W, C) = P^T @ V_rows                     contract over rows
+  out  (K, C) = sel (K, W) @ (O_bd * blockmask)  pick matching-head blocks
+
+Mosaic shape rules: head dim 64 is below the 128-lane tile, so vectors are
+never reshaped to (..., H, Dh); per-head structure enters through constant
+0/1 iota masks on the packed feature axis.
 """
 
 from __future__ import annotations
@@ -38,152 +44,123 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1.0e30
 
 
-def _kernel(pos_ref, q_ref, bias_ref, k_hbm, v_hbm, out_ref, kscr, vscr,
-            rsem_k, rsem_v, *, lanes: int, heads: int, dh: int, chunk: int):
-    """One utterance: online-softmax attention over cache rows [0, pos].
+def _kernel(q_ref, bias_ref, k_hbm, v_hbm, out_ref, kscr, vscr,
+            rsem_k, rsem_v, *, lanes: int, heads: int, dh: int):
+    """One utterance: full-buffer block-diagonal attention.
 
     Block shapes:
-      pos_ref  (1,)            SMEM  current position
-      q_ref    (1, K, H*Dh)    VMEM  queries, pre-scaled by dh**-0.5
-      bias_ref (1, K, S, J)    VMEM  ancestry+causal bias (0 valid, NEG else)
-      k_hbm    (N, S, H*Dh)    ANY   full key cache (read-only)
-      v_hbm    (N, S, H*Dh)    ANY   full value cache
-      out_ref  (1, K, H*Dh)    VMEM  attention output
-      kscr/vscr (K, chunk, H*Dh) VMEM scratch
+      q_ref    (1, K, C)       VMEM  queries, pre-scaled by dh**-0.5
+      bias_ref (1, R, K)       VMEM  ancestry+causal bias, lane-major rows
+      k_hbm    (N, S, C)       ANY   full key cache (read-only)
+      v_hbm    (N, S, C)       ANY   full value cache
+      out_ref  (1, K, C)       VMEM  attention output
+      kscr/vscr (K, S, C)      VMEM  this utterance's rows
     """
     s_max = k_hbm.shape[1]
-    n0 = pl.program_id(0) * lanes  # this utterance's lane offset
-    p_eff = jnp.minimum(pos_ref[0], s_max - 1)
-
     c_dim = heads * dh
-    col = jax.lax.broadcasted_iota(jnp.int32, (c_dim, heads), 0) // dh
-    hh = jax.lax.broadcasted_iota(jnp.int32, (c_dim, heads), 1)
-    seg = (col == hh).astype(jnp.float32)  # (C, H)
-    seg_t = seg.T  # (H, C)
+    w = heads * lanes
+    r = lanes * s_max
+    n0 = pl.program_id(0) * lanes
 
-    q2 = q_ref[0].astype(jnp.float32)  # (K, C)
+    rk = pltpu.make_async_copy(k_hbm.at[pl.ds(n0, lanes)], kscr, rsem_k)
+    rv = pltpu.make_async_copy(v_hbm.at[pl.ds(n0, lanes)], vscr, rsem_v)
+    rk.start()
+    rv.start()
 
-    def chunk_body(c, carry):
-        m, l, acc = carry  # (K, H), (K, H), (K, C)
-        rk = pltpu.make_async_copy(
-            k_hbm.at[pl.ds(n0, lanes), pl.ds(c * chunk, chunk)], kscr, rsem_k
-        )
-        rv = pltpu.make_async_copy(
-            v_hbm.at[pl.ds(n0, lanes), pl.ds(c * chunk, chunk)], vscr, rsem_v
-        )
-        rk.start()
-        rv.start()
-        rk.wait()
-        rv.wait()
-        new_m, new_l, new_acc = [], [], []
-        for lane in range(lanes):  # static unroll over beam lanes
-            # per stored lane j: scores (chunk, H) with the ancestry/causal
-            # bias column broadcast across heads
-            s_j = []
-            for j in range(lanes):
-                prod = kscr[j].astype(jnp.float32) * q2[lane : lane + 1, :]
-                s_j.append(
-                    jax.lax.dot_general(
-                        prod, seg, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    + bias_ref[0, lane, pl.ds(c * chunk, chunk), j : j + 1]
-                    .astype(jnp.float32)
-                )
-            m_c = s_j[0].max(axis=0, keepdims=True)
-            for s in s_j[1:]:
-                m_c = jnp.maximum(m_c, s.max(axis=0, keepdims=True))
-            m_new = jnp.maximum(m[lane : lane + 1, :], m_c)  # (1, H)
-            alpha = jnp.exp(m[lane : lane + 1, :] - m_new)
-            l_new = l[lane : lane + 1, :] * alpha
-            alpha_full = jax.lax.dot_general(  # broadcast over head blocks
-                alpha, seg_t, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (1, C)
-            a_new = acc[lane : lane + 1, :] * alpha_full
-            for j in range(lanes):
-                p = jnp.exp(s_j[j] - m_new)  # (chunk, H)
-                l_new = l_new + p.sum(axis=0, keepdims=True)
-                p_full = jax.lax.dot_general(
-                    p, seg_t, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (chunk, C)
-                a_new = a_new + (
-                    p_full * vscr[j].astype(jnp.float32)
-                ).sum(axis=0, keepdims=True)
-            new_m.append(m_new)
-            new_l.append(l_new)
-            new_acc.append(a_new)
-        return (
-            jnp.concatenate(new_m, axis=0),
-            jnp.concatenate(new_l, axis=0),
-            jnp.concatenate(new_acc, axis=0),
-        )
+    f32 = jnp.float32
+    # rep (K, W): rep[l, h*K+l'] = [l == l']
+    col_l = jax.lax.broadcasted_iota(jnp.int32, (lanes, w), 1) % lanes
+    row_l = jax.lax.broadcasted_iota(jnp.int32, (lanes, w), 0)
+    rep = (col_l == row_l).astype(f32)
+    # blockmask (W, C): [c // dh == h] for col-row h*K+l
+    head_of_w = jax.lax.broadcasted_iota(jnp.int32, (w, c_dim), 0) // lanes
+    head_of_c = jax.lax.broadcasted_iota(jnp.int32, (w, c_dim), 1) // dh
+    blockmask = (head_of_w == head_of_c).astype(f32)
 
-    m0 = jnp.full((lanes, heads), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((lanes, heads), jnp.float32)
-    acc0 = jnp.zeros((lanes, c_dim), jnp.float32)
-    n_chunks = (p_eff + chunk) // chunk  # rows [0, p_eff] (+ masked tail)
-    m, l, acc = jax.lax.fori_loop(0, n_chunks, chunk_body, (m0, l0, acc0))
+    q = q_ref[0].astype(f32)  # (K, C)
+    # Q_bd (C, W) = (q^T replicated per head) * blockmask^T
+    q_rep = jax.lax.dot_general(
+        q, rep, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )  # contract lane dim: (C, W) with col h*K+l = q[l, :]
+    q_bd = q_rep * blockmask.T
 
-    l_full = jax.lax.dot_general(
-        l, seg_t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    out_ref[0] = (acc / jnp.maximum(l_full, 1e-30)).astype(out_ref.dtype)
+    bias = bias_ref[0].astype(f32)  # (R, K)
+    b_rep = jax.lax.dot_general(
+        bias, rep, (((1,), (0,)), ((), ())), preferred_element_type=f32
+    )  # (R, W)
+
+    rk.wait()
+    kv_dtype = kscr.dtype
+    k_rows = kscr[...].reshape(r, c_dim)
+    scores = jax.lax.dot_general(
+        k_rows, q_bd.astype(kv_dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ) + b_rep  # (R, W)
+
+    m = scores.max(axis=0, keepdims=True)  # (1, W)
+    p = jnp.exp(scores - m)  # (R, W)
+    denom = jnp.maximum(p.sum(axis=0, keepdims=True), 1e-30)  # (1, W)
+    p = p / denom  # normalize pre-matmul: avoids a (1,W)->(W,1) relayout
+
+    rv.wait()
+    v_rows = vscr[...].reshape(r, c_dim)
+    o_bd = jax.lax.dot_general(
+        p.astype(kv_dtype), v_rows, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )  # (W, C)
+
+    sel = rep  # (K, W) selector: same matrix
+    out = jax.lax.dot_general(
+        sel, o_bd * blockmask, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )  # (K, C)
+    out_ref[0] = out.astype(out_ref.dtype)
 
 
 def decode_attention(
-    pos: jax.Array,  # scalar int32 position
+    pos: jax.Array,  # scalar int32 position (masking is carried by the bias)
     q: jax.Array,  # (N, H*Dh) queries, pre-scaled
     k_cache: jax.Array,  # (N, S, H*Dh), row `pos` already written
     v_cache: jax.Array,  # (N, S, H*Dh)
     lane_bias: jax.Array,  # (B, K, S, J): 0 on ancestor lanes with s <= pos
     lanes: int,
     heads: int,
-    chunk: int = 192,
+    chunk: int | None = None,  # unused (v1 compat); full-buffer read
     interpret: bool | None = None,
 ) -> jax.Array:
     """Attention output (N, H*Dh). Read-only over the caches; always called
-    inside an enclosing jit (the beam-search program)."""
+    inside an enclosing jit (the beam-search program). Rows with bias
+    NEG_INF (s > pos, or non-ancestor lanes) contribute exp(-1e30-m) = 0,
+    so reads past the logical position are harmless."""
+    del pos, chunk
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, s_max, c = k_cache.shape
     b = n // lanes
     dh = c // heads
-    chunk = min(chunk, s_max)
-    while s_max % chunk:  # shrink to a divisor for short buffers
-        chunk -= 1
 
-    # a (1, K, C) block's trailing dims equal the (B, K, C) array's, which
-    # satisfies the Mosaic VMEM block-shape rule for K < 8
+    # (B, K, S, J) -> lane-major rows (B, J*S, K): row j*S+s matches the
+    # kernel's flattened (lane, position) cache rows
+    bias2 = jnp.transpose(lane_bias, (0, 3, 2, 1)).reshape(
+        b, lanes * s_max, lanes
+    )
+
     row = pl.BlockSpec((1, lanes, c), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
-    # TPU ANY-space refs must be the full array with a trivial index map;
-    # the kernel DMA-slices its own lanes/rows out of the (N, S, C) caches
-    cache = pl.BlockSpec(memory_space=pl.ANY)
-    bias = pl.BlockSpec((1, lanes, s_max, lanes), lambda i: (i, 0, 0, 0),
+    bias = pl.BlockSpec((1, lanes * s_max, lanes), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
+    cache = pl.BlockSpec(memory_space=pl.ANY)
     return pl.pallas_call(
-        functools.partial(_kernel, lanes=lanes, heads=heads, dh=dh,
-                          chunk=chunk),
+        functools.partial(_kernel, lanes=lanes, heads=heads, dh=dh),
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # pos
-            row,  # q
-            bias,
-            cache,  # k_cache
-            cache,  # v_cache
-        ],
+        in_specs=[row, bias, cache, cache],
         out_specs=row,
         out_shape=jax.ShapeDtypeStruct((b, lanes, c), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((lanes, chunk, c), k_cache.dtype),
-            pltpu.VMEM((lanes, chunk, c), v_cache.dtype),
+            pltpu.VMEM((lanes, s_max, c), k_cache.dtype),
+            pltpu.VMEM((lanes, s_max, c), v_cache.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(
-        pos.reshape(1).astype(jnp.int32), q.reshape(b, lanes, c), lane_bias,
-        k_cache, v_cache,
-    ).reshape(n, c)
+    )(q.reshape(b, lanes, c), bias2, k_cache, v_cache).reshape(n, c)
