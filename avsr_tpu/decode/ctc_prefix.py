@@ -40,24 +40,39 @@ class CTCPrefixState(NamedTuple):
     out_len: jax.Array  # scalar int32: generated tokens so far (excl. sos)
 
 
-def _cumlogsumexp(x: jax.Array, axis: int = 0) -> jax.Array:
-    """Cumulative logsumexp as an associative scan over (max, scaled-sum) pairs.
+def _tri_cumsum(x: jax.Array) -> jax.Array:
+    """Inclusive cumsum over axis 0 as one lower-triangular matmul.
 
-    lax.cumlogsumexp lowers to an O(T*window) reduce-window on TPU; the
-    logsumexp monoid under lax.associative_scan is O(log T) depth of cheap
-    elementwise ops and keeps prefix-local precision (each prefix is shifted
-    by its own running max).
+    Both lax.cumsum and lax.associative_scan lower to many small sequential
+    ops on TPU (reduce-window / log2(T) elementwise passes), each paying
+    per-op launch overhead inside the beam while-loop. A (T, T) ones-tril
+    contraction is a single MXU op; the tril constant is loop-invariant, so
+    XLA hoists it out of the decode loop.
     """
+    t = x.shape[0]
+    tri = jnp.tril(jnp.ones((t, t), jnp.float32))
+    return jax.lax.dot_general(
+        tri, x.reshape(t, -1).astype(jnp.float32),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(x.shape)
 
-    def combine(a, b):
-        (ma, sa), (mb, sb) = a, b
-        m = jnp.maximum(ma, mb)
-        # guard -inf - -inf when both sides are empty (-inf max)
-        safe = jnp.maximum(m, -3.0e38)
-        s = sa * jnp.exp(ma - safe) + sb * jnp.exp(mb - safe)
-        return m, s
 
-    m, s = jax.lax.associative_scan(combine, (x, jnp.ones_like(x)), axis=axis)
+def _cumlogsumexp(x: jax.Array, axis: int = 0) -> jax.Array:
+    """Cumulative logsumexp over axis 0: column-max shift + tril-matmul cumsum.
+
+    The per-column *global* max shift (instead of a prefix-local running
+    max) lets the whole scan collapse into exp -> one triangular matmul ->
+    log. Prefixes whose local max sits far below the column max lose terms
+    below ~exp(-87) relative to it — beneath LOG_ZERO-floored score
+    resolution (all consumers floor at -1e10 and feed logaddexp whose
+    dominant terms are near the max), verified by the stepwise parity
+    tests at <= 1e-4 against the reference recursion.
+    """
+    assert axis == 0
+    m = x.max(axis=0, keepdims=True)
+    safe = jnp.maximum(m, -3.0e38)  # guard all--inf columns
+    s = _tri_cumsum(jnp.exp(x - safe))
     return jnp.log(jnp.maximum(s, 1e-37)) + m
 
 
@@ -124,7 +139,7 @@ def score_candidates(
     start = jnp.maximum(state.out_len, 1)
     tidx = jnp.arange(t_max)
 
-    cum_x = jnp.cumsum(xs, axis=0)  # (T, K, S)
+    cum_x = _tri_cumsum(xs)  # (T, K, S) one MXU op (see _tri_cumsum)
     cum_x_m1 = jnp.concatenate([jnp.zeros_like(cum_x[:1]), cum_x[:-1]], axis=0)
     phi_m1 = jnp.concatenate([jnp.full_like(phi[:1], LOG_ZERO), phi[:-1]], axis=0)
 
@@ -137,6 +152,11 @@ def score_candidates(
         phi_m1 - cum_x_m1,
         jnp.where(init_here[:, None, None], 0.0, -jnp.inf),
     )
+    # rows at padded frames (j >= xlen) never belong to a consumed prefix
+    # (r_n[t >= xlen] floors to LOG_ZERO regardless), but their -cumX term
+    # explodes positive (+1e10 per padded frame) and would hijack
+    # _cumlogsumexp's column-global max shift — mask them out
+    u = jnp.where((tidx < xlen)[:, None, None], u, -jnp.inf)
     r_n = cum_x + _cumlogsumexp(u, axis=0)  # (T, K, S)
     r_n = jnp.maximum(r_n, LOG_ZERO)
 
@@ -145,7 +165,7 @@ def score_candidates(
     cum_b_m1 = jnp.concatenate([jnp.zeros_like(cum_b[:1]), cum_b[:-1]])
     r_n_m1 = jnp.concatenate([jnp.full_like(r_n[:1], LOG_ZERO), r_n[:-1]], axis=0)
     vterm = jnp.where(
-        (tidx >= start)[:, None, None],
+        ((tidx >= start) & (tidx < xlen + 1))[:, None, None],
         r_n_m1 - cum_b_m1[:, None, None],
         -jnp.inf,
     )

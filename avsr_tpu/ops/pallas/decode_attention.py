@@ -12,24 +12,26 @@ bias, exactly as in models/decoder.py attend_kv_lazy.
 
 Formulation (v2): everything is expressed as a handful of large 2-D
 matmuls so the MXU does the work (v1 serialized 9 tiny (lane, ancestor)
-dot pairs per chunk and ran latency-bound at ~76 us/layer/step):
+dot pairs per chunk and ran latency-bound at ~76 us/layer/step; v2 runs
+~47 us at one utterance per program). Each grid program handles a GROUP of
+G utterances to amortize per-program launch/DMA overhead; cross-utterance
+score blocks are computed (the MXU does them for free inside one big
+matmul) and masked to -inf so they contribute exp(-1e30 - m) = 0.
 
-  rows    R = K_lanes * S       (one utterance's cache, lane-major rows)
-  cols    W = H * K             (head-major (head, lane) score columns)
+  rows  R = G * K * S     lane-major cache rows for the group
+  cols  W = G * H * K     (utterance, head, lane) score columns
 
-  Q_bd (C, W)   block-diagonal queries: col h*K+l holds lane l's query on
-                head h's Dh-block of the feature axis, zeros elsewhere —
-                built with two constant masks and one (C,K)x(K,W) matmul.
-  S    (R, W) = KV_rows (R, C) @ Q_bd            per-head scores
-  B    (R, W) = bias2 (R, K) @ rep (K, W)        ancestry bias, head-bcast
-  P    (R, W) = exp(S + B - colmax)              full softmax (no online
-                accumulation: the whole buffer sits in VMEM)
-  O_bd (W, C) = P^T @ V_rows                     contract over rows
-  out  (K, C) = sel (K, W) @ (O_bd * blockmask)  pick matching-head blocks
+  Q_bd (C, W)   block-diagonal queries: col (g,h,l) holds query (g,l) on
+                head h's Dh-block — one (GK,C)x(GK,W) matmul + iota masks
+  S    (R, W) = KV_rows (R, C) @ Q_bd           per-head scores
+  B    (R, W) = bias2 (R, K) @ rep + crossmask  ancestry bias, head-bcast
+  P    (R, W) = exp(S + B - colmax) / colsum    full softmax in VMEM
+  O_bd (W, C) = P^T @ V_rows                    contract over rows
+  out (GK, C) = sel (GK, W) @ (O_bd * headmask) pick matching-head blocks
 
 Mosaic shape rules: head dim 64 is below the 128-lane tile, so vectors are
-never reshaped to (..., H, Dh); per-head structure enters through constant
-0/1 iota masks on the packed feature axis.
+never reshaped to (..., H, Dh); per-head and per-utterance structure enter
+through constant 0/1 iota masks on packed 2-D axes.
 """
 
 from __future__ import annotations
@@ -45,49 +47,62 @@ NEG_INF = -1.0e30
 
 
 def _kernel(q_ref, bias_ref, k_hbm, v_hbm, out_ref, kscr, vscr,
-            rsem_k, rsem_v, *, lanes: int, heads: int, dh: int):
-    """One utterance: full-buffer block-diagonal attention.
+            rsem_k, rsem_v, *, group: int, lanes: int, heads: int, dh: int):
+    """One group of `group` utterances: block-diagonal attention.
 
-    Block shapes:
-      q_ref    (1, K, C)       VMEM  queries, pre-scaled by dh**-0.5
-      bias_ref (1, R, K)       VMEM  ancestry+causal bias, lane-major rows
-      k_hbm    (N, S, C)       ANY   full key cache (read-only)
-      v_hbm    (N, S, C)       ANY   full value cache
-      out_ref  (1, K, C)       VMEM  attention output
-      kscr/vscr (K, S, C)      VMEM  this utterance's rows
+    Block shapes (U = group*lanes, R = U*S, W = group*heads*lanes):
+      q_ref    (1, U, C)     VMEM  queries, pre-scaled by dh**-0.5
+      bias_ref (1, R, K)     VMEM  ancestry+causal bias, lane-major rows
+      k_hbm    (N, S, C)     ANY   full key cache (read-only)
+      v_hbm    (N, S, C)     ANY   full value cache
+      out_ref  (1, U, C)     VMEM  attention output
+      kscr/vscr (U, S, C)    VMEM  the group's rows
     """
     s_max = k_hbm.shape[1]
     c_dim = heads * dh
-    w = heads * lanes
-    r = lanes * s_max
-    n0 = pl.program_id(0) * lanes
+    hk = heads * lanes
+    u = group * lanes
+    w = group * hk
+    r = u * s_max
+    n0 = pl.program_id(0) * u
 
-    rk = pltpu.make_async_copy(k_hbm.at[pl.ds(n0, lanes)], kscr, rsem_k)
-    rv = pltpu.make_async_copy(v_hbm.at[pl.ds(n0, lanes)], vscr, rsem_v)
+    rk = pltpu.make_async_copy(k_hbm.at[pl.ds(n0, u)], kscr, rsem_k)
+    rv = pltpu.make_async_copy(v_hbm.at[pl.ds(n0, u)], vscr, rsem_v)
     rk.start()
     rv.start()
 
     f32 = jnp.float32
-    # rep (K, W): rep[l, h*K+l'] = [l == l']
-    col_l = jax.lax.broadcasted_iota(jnp.int32, (lanes, w), 1) % lanes
-    row_l = jax.lax.broadcasted_iota(jnp.int32, (lanes, w), 0)
-    rep = (col_l == row_l).astype(f32)
-    # blockmask (W, C): [c // dh == h] for col-row h*K+l
-    head_of_w = jax.lax.broadcasted_iota(jnp.int32, (w, c_dim), 0) // lanes
-    head_of_c = jax.lax.broadcasted_iota(jnp.int32, (w, c_dim), 1) // dh
-    blockmask = (head_of_w == head_of_c).astype(f32)
+    iota = lambda s, d: jax.lax.broadcasted_iota(jnp.int32, s, d)  # noqa: E731
+    # rep (U, W): [(row % K == col % K) and (row // K == col // HK)]
+    rw_row = iota((u, w), 0)
+    rw_col = iota((u, w), 1)
+    rep = (
+        (rw_row % lanes == rw_col % lanes)
+        & (rw_row // lanes == rw_col // hk)
+    ).astype(f32)
+    # headmask (W, C): [c // dh == (col % HK) // K]
+    wc_row = iota((w, c_dim), 0)
+    wc_col = iota((w, c_dim), 1)
+    headmask = ((wc_row % hk) // lanes == wc_col // dh).astype(f32)
+    # rep_col (K, W): [col % K == row] — bias lane selector (group-agnostic)
+    kw_row = iota((lanes, w), 0)
+    kw_col = iota((lanes, w), 1)
+    rep_col = (kw_col % lanes == kw_row).astype(f32)
+    # crossmask (R, W): NEG where row utterance != col utterance
+    rwx_row = iota((r, w), 0) // (lanes * s_max)
+    rwx_col = iota((r, w), 1) // hk
+    crossmask = jnp.where(rwx_row == rwx_col, 0.0, NEG_INF)
 
-    q = q_ref[0].astype(f32)  # (K, C)
-    # Q_bd (C, W) = (q^T replicated per head) * blockmask^T
+    q = q_ref[0].astype(f32)  # (U, C)
     q_rep = jax.lax.dot_general(
         q, rep, (((0,), (0,)), ((), ())), preferred_element_type=f32
-    )  # contract lane dim: (C, W) with col h*K+l = q[l, :]
-    q_bd = q_rep * blockmask.T
+    )  # (C, W): col (g,h,l) = q[(g,l), :]
+    q_bd = q_rep * headmask.T
 
     bias = bias_ref[0].astype(f32)  # (R, K)
     b_rep = jax.lax.dot_general(
-        bias, rep, (((1,), (0,)), ((), ())), preferred_element_type=f32
-    )  # (R, W)
+        bias, rep_col, (((1,), (0,)), ((), ())), preferred_element_type=f32
+    ) + crossmask  # (R, W)
 
     rk.wait()
     kv_dtype = kscr.dtype
@@ -109,11 +124,10 @@ def _kernel(q_ref, bias_ref, k_hbm, v_hbm, out_ref, kscr, vscr,
         preferred_element_type=f32,
     )  # (W, C)
 
-    sel = rep  # (K, W) selector: same matrix
     out = jax.lax.dot_general(
-        sel, o_bd * blockmask, (((1,), (0,)), ((), ())),
+        rep, o_bd * headmask, (((1,), (0,)), ((), ())),
         preferred_element_type=f32,
-    )  # (K, C)
+    )  # (U, C)
     out_ref[0] = out.astype(out_ref.dtype)
 
 
@@ -125,42 +139,49 @@ def decode_attention(
     lane_bias: jax.Array,  # (B, K, S, J): 0 on ancestor lanes with s <= pos
     lanes: int,
     heads: int,
-    chunk: int | None = None,  # unused (v1 compat); full-buffer read
+    group: int = 2,
+    chunk: int | None = None,  # unused (v1 compat)
     interpret: bool | None = None,
 ) -> jax.Array:
     """Attention output (N, H*Dh). Read-only over the caches; always called
     inside an enclosing jit (the beam-search program). Rows with bias
-    NEG_INF (s > pos, or non-ancestor lanes) contribute exp(-1e30-m) = 0,
-    so reads past the logical position are harmless."""
+    NEG_INF (s > pos, non-ancestor lanes, or other group members)
+    contribute exp(-1e30-m) = 0, so reads past the logical position are
+    harmless. `group` utterances share one grid program (clamped to a
+    divisor of the batch)."""
     del pos, chunk
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, s_max, c = k_cache.shape
     b = n // lanes
     dh = c // heads
+    group = min(group, b)
+    while b % group:
+        group -= 1
 
-    # (B, K, S, J) -> lane-major rows (B, J*S, K): row j*S+s matches the
-    # kernel's flattened (lane, position) cache rows
+    # (B, K, S, J) -> lane-major rows (B, J*S, K) -> group rows
     bias2 = jnp.transpose(lane_bias, (0, 3, 2, 1)).reshape(
-        b, lanes * s_max, lanes
+        b // group, group * lanes * s_max, lanes
     )
 
-    row = pl.BlockSpec((1, lanes, c), lambda i: (i, 0, 0),
+    u = group * lanes
+    row = pl.BlockSpec((1, u, c), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
-    bias = pl.BlockSpec((1, lanes * s_max, lanes), lambda i: (i, 0, 0),
+    bias = pl.BlockSpec((1, u * s_max, lanes), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     cache = pl.BlockSpec(memory_space=pl.ANY)
     return pl.pallas_call(
-        functools.partial(_kernel, lanes=lanes, heads=heads, dh=dh),
-        grid=(b,),
+        functools.partial(_kernel, group=group, lanes=lanes, heads=heads,
+                          dh=dh),
+        grid=(b // group,),
         in_specs=[row, bias, cache, cache],
         out_specs=row,
-        out_shape=jax.ShapeDtypeStruct((b, lanes, c), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b // group, u, c), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((lanes, s_max, c), k_cache.dtype),
-            pltpu.VMEM((lanes, s_max, c), v_cache.dtype),
+            pltpu.VMEM((u, s_max, c), k_cache.dtype),
+            pltpu.VMEM((u, s_max, c), v_cache.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(q.reshape(b, lanes, c), bias2, k_cache, v_cache).reshape(n, c)
+    )(q.reshape(b // group, u, c), bias2, k_cache, v_cache).reshape(n, c)
