@@ -203,35 +203,39 @@ class DecoderLayer(nn.Module):
     ):
         residual = x_t
         h = self.norm1(x_t)
-        k_t, v_t = self.self_attn.project_kv(h, h)  # (B,1,H,Dh)
-        if isinstance(self_kv, tuple):
-            # fused Pallas decode attention over (N, S, H*Dh) K/V buffers:
-            # the row write stays an XLA dynamic-update-slice (the kernel is
-            # the cache's only consumer, so layout assignment keeps rows
-            # contiguous); the kernel streams rows [0, pos] with an
-            # online softmax. lane_bias arrives in kernel (B, K, S, J) layout.
+        if self_kv.ndim == 3:  # (N, S, 2C) fused cache -> Pallas kernel path
+            # fused Pallas decode attention over one (N, S, 2*H*Dh) K|V
+            # buffer: q/k/v are one concatenated matmul (the weight concat is
+            # loop-invariant, XLA hoists it), the K|V row write is ONE
+            # dynamic-update-slice (the kernel is the cache's only consumer,
+            # so layout assignment keeps rows contiguous), and the kernel
+            # resolves beam ancestry via lane_bias ((B, K, S, J) layout).
             from avsr_tpu.ops.pallas.decode_attention import decode_attention
 
-            k_cache, v_cache = self_kv
             n = x_t.shape[0]
             d_k = self.dim // self.heads
-            q = self.self_attn._split(self.self_attn.linear_q(h))
-            q = (q * d_k ** -0.5).reshape(n, self.dim)
-            k_cache = jax.lax.dynamic_update_slice(
-                k_cache, k_t.reshape(n, 1, self.dim).astype(k_cache.dtype),
-                (0, pos, 0),
+            pa = self.variables["params"]["self_attn"]
+            w_qkv = jnp.concatenate(
+                [pa["linear_q"]["kernel"], pa["linear_k"]["kernel"],
+                 pa["linear_v"]["kernel"]], axis=1,
             )
-            v_cache = jax.lax.dynamic_update_slice(
-                v_cache, v_t.reshape(n, 1, self.dim).astype(v_cache.dtype),
+            b_qkv = jnp.concatenate(
+                [pa["linear_q"]["bias"], pa["linear_k"]["bias"],
+                 pa["linear_v"]["bias"]]
+            )
+            qkv = h.reshape(n, self.dim) @ w_qkv + b_qkv  # (N, 3C)
+            q = qkv[:, : self.dim] * d_k ** -0.5
+            self_kv = jax.lax.dynamic_update_slice(
+                self_kv, qkv[:, None, self.dim:].astype(self_kv.dtype),
                 (0, pos, 0),
             )
             out = decode_attention(
-                pos, q, k_cache, v_cache, lane_bias,
+                pos, q, self_kv, lane_bias,
                 lanes=lane_bias.shape[1], heads=self.heads,
             )
             h = self.self_attn.linear_out(out[:, None, :].astype(h.dtype))
-            self_kv = (k_cache, v_cache)
         else:
+            k_t, v_t = self.self_attn.project_kv(h, h)  # (B,1,H,Dh)
             maxlen = self_kv.shape[0]
             # one contiguous (1,B,2,H,Dh) row write into the seq-major cache
             kv_t = jnp.stack(
@@ -394,12 +398,10 @@ class TransformerDecoder(nn.Module):
         cdtype = jnp.dtype(self.cache_dtype)
         pdtype = jnp.dtype(self.decode_param_dtype)
         if self.fused_decode_attention:
-            # separate K/V (N, S, H*Dh) buffers: lanes lead so the kernel's
-            # per-utterance DMA slices the untiled major dim
-            zeros = (
-                jnp.zeros((b, maxlen, self.dim), cdtype),
-                jnp.zeros((b, maxlen, self.dim), cdtype),
-            )
+            # one fused (N, S, 2C) K|V buffer: lanes lead so the kernel's
+            # per-group DMA slices the untiled major dim, and K|V concat
+            # means one row-write per layer per step
+            zeros = jnp.zeros((b, maxlen, 2 * self.dim), cdtype)
         else:
             zeros = jnp.zeros((maxlen, b, 2, self.heads, dh), cdtype)
         stacked = self.blocks.variables["params"]
@@ -426,7 +428,7 @@ class TransformerDecoder(nn.Module):
     ):
         """One decode step: returns (log-probs (B, V), updated cache)."""
         first = cache.self_kv[0]
-        kv_len = first[0].shape[1] if isinstance(first, tuple) else first.shape[0]
+        kv_len = first.shape[1] if first.ndim == 3 else first.shape[0]
         if self.fused_decode_attention:
             if lane_bias is None:
                 raise ValueError(

