@@ -59,21 +59,22 @@ def _tri_cumsum(x: jax.Array) -> jax.Array:
 
 
 def _cumlogsumexp(x: jax.Array, axis: int = 0) -> jax.Array:
-    """Cumulative logsumexp over axis 0: column-max shift + tril-matmul cumsum.
+    """Cumulative logsumexp over axis 0 with prefix-local (running-max) shifts.
 
-    The per-column *global* max shift (instead of a prefix-local running
-    max) lets the whole scan collapse into exp -> one triangular matmul ->
-    log. Prefixes whose local max sits far below the column max lose terms
-    below ~exp(-87) relative to it — beneath LOG_ZERO-floored score
-    resolution (all consumers floor at -1e10 and feed logaddexp whose
-    dominant terms are near the max), verified by the stepwise parity
-    tests at <= 1e-4 against the reference recursion.
+    Numerics matter here: a column-GLOBAL max + one triangular matmul (like
+    _tri_cumsum) is tempting but wrong at depth — the u-sequences drift
+    monotonically by ~|log p| per frame, so a global shift underflows every
+    prefix sitting >87 nats below the column max; the flagship-scale T=375
+    token-exactness test catches exactly this (tiny-T tests cannot, their
+    total drift stays under the fp32 exp range). The Kogge-Stone recursion
+    over (running max, shifted sum) pairs is exact; it runs as ONE Pallas
+    program (ops/pallas/scan_logsumexp) instead of ~36 launch-overhead-bound
+    XLA ops from lax.associative_scan.
     """
     assert axis == 0
-    m = x.max(axis=0, keepdims=True)
-    safe = jnp.maximum(m, -3.0e38)  # guard all--inf columns
-    s = _tri_cumsum(jnp.exp(x - safe))
-    return jnp.log(jnp.maximum(s, 1e-37)) + m
+    from avsr_tpu.ops.pallas.scan_logsumexp import cumlogsumexp
+
+    return cumlogsumexp(x)
 
 
 def pad_log_probs(log_probs: jax.Array, xlen: jax.Array, blank: int = 0) -> jax.Array:
