@@ -22,7 +22,6 @@ Usage: python bench_data.py [--steps 300] [--batch 6] [--clips 48]
 from __future__ import annotations
 
 import argparse
-import itertools
 import json
 import os
 import tempfile
