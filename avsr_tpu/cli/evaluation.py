@@ -56,7 +56,8 @@ class InferenceEngine:
         cache_dir: Optional[str] = None,
         beam_size: int = 3,
         max_length: int = 15,
-        batch_size: int = 8,
+        batch_size: int = 16,  # B=16 amortizes per-step beam-loop cost best
+        # (device trace: 16 utt / 1.30 ms/step vs 8 / 0.78 — +20% audio/s)
         mode: str = "beam",
         model_kwargs: Optional[Dict] = None,
         max_decode_tokens: int = 192,
