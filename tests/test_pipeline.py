@@ -16,7 +16,13 @@ from tests.test_train import tiny_cfg  # noqa: E402
 
 class DummyTokenizer:
     def tokenize(self, text):
-        return np.asarray([(hash(w) % 25) + 1 for w in text.split()], np.int32)
+        # deterministic across processes (builtin hash() is per-process
+        # randomized, which broke the spawn-worker-pool equality test)
+        return np.asarray(
+            [(sum(ord(c) * 31 ** i for i, c in enumerate(w)) % 25) + 1
+             for w in text.split()],
+            np.int32,
+        )
 
 
 def make_collator(subset="test", seed=0):
@@ -145,3 +151,28 @@ def test_cli_parsers():
     assert args.batch_size == 2 and args.synthetic_dataset
     args = eval_parser().parse_args(["--dataset_name", "AVCocktail", "--set_id", "video_3"])
     assert args.set_id == "video_3"
+
+
+def test_batches_from_samples_worker_pools_match_inline():
+    """Thread and spawn-process worker pools must yield the exact batches,
+    in order, that inline collation produces (deterministic seeded collator).
+    """
+    def batches(num_workers, use_processes=False):
+        coll = make_collator("train", seed=5)
+        it = batches_from_samples(
+            synthetic_samples(12, seed=4, min_frames=16, max_frames=30),
+            coll, 2, 2, num_workers=num_workers, use_processes=use_processes,
+        )
+        out = [next(it) for _ in range(3)]
+        it.close()
+        return out
+
+    inline = batches(0)
+    threaded = batches(3)
+    for a, b in zip(inline, threaded):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=f"threads {k}")
+    procs = batches(2, use_processes=True)
+    for a, b in zip(inline, procs):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=f"processes {k}")
