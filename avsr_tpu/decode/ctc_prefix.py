@@ -252,8 +252,13 @@ def select_candidates(
     token: jax.Array,  # (K',) selected token ids
 ) -> CTCPrefixState:
     """Candidate-space state selection (slot already resolved by the beam)."""
-    s_max = r_cands.shape[1]
-    r_new = r_cands[prev, jnp.minimum(slot, s_max - 1)]
+    k, s_max, t, _ = r_cands.shape
+    # one-hot matmul instead of a gather (TPU lowers dynamic gathers to
+    # slow per-element loops; a 0/1 dot sums exactly one element per row,
+    # so it is bit-exact for fp32 payloads)
+    idx = prev * s_max + jnp.minimum(slot, s_max - 1)  # (K',)
+    onehot = jax.nn.one_hot(idx, k * s_max, dtype=r_cands.dtype)
+    r_new = (onehot @ r_cands.reshape(k * s_max, t * 2)).reshape(-1, t, 2)
     return CTCPrefixState(
         r=r_new,
         s=psi_sel,
