@@ -51,10 +51,14 @@ def _tri_cumsum(x: jax.Array) -> jax.Array:
     """
     t = x.shape[0]
     tri = jnp.tril(jnp.ones((t, t), jnp.float32))
+    # Precision.HIGHEST: TPU Precision.DEFAULT rounds fp32 operands to bf16
+    # (8-bit mantissa), a multi-nat error over hundreds of summed log-probs
+    # at T=375. These contractions are tiny; HIGHEST stays MXU-fast.
     return jax.lax.dot_general(
         tri, x.reshape(t, -1).astype(jnp.float32),
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ).reshape(x.shape)
 
 
@@ -127,9 +131,13 @@ def score_candidates(
     k, s = part_ids.shape
 
     # candidate-column gather as a one-hot matmul: tiny MXU contraction
-    # instead of a gather (TPU lowers dynamic gathers to slow loops)
+    # instead of a gather (TPU lowers dynamic gathers to slow loops).
+    # HIGHEST precision: with DEFAULT the fp32 log-prob operand is rounded
+    # to bf16 on TPU, so the "gather" would return truncated values.
     onehot = jax.nn.one_hot(part_ids.reshape(-1), v, dtype=log_probs.dtype)
-    xs = (log_probs @ onehot.T).reshape(t_max, k, s)  # (T, K, S)
+    xs = jnp.matmul(
+        log_probs, onehot.T, precision=jax.lax.Precision.HIGHEST
+    ).reshape(t_max, k, s)  # (T, K, S)
     xb = log_probs[:, blank]  # (T,)
 
     r_prev = jnp.transpose(state.r, (1, 2, 0))  # (T, 2, K)
@@ -255,10 +263,14 @@ def select_candidates(
     k, s_max, t, _ = r_cands.shape
     # one-hot matmul instead of a gather (TPU lowers dynamic gathers to
     # slow per-element loops; a 0/1 dot sums exactly one element per row,
-    # so it is bit-exact for fp32 payloads)
+    # so it is bit-exact for fp32 payloads — but ONLY at HIGHEST precision:
+    # TPU DEFAULT rounds the fp32 r-state operand itself to bf16)
     idx = prev * s_max + jnp.minimum(slot, s_max - 1)  # (K',)
     onehot = jax.nn.one_hot(idx, k * s_max, dtype=r_cands.dtype)
-    r_new = (onehot @ r_cands.reshape(k * s_max, t * 2)).reshape(-1, t, 2)
+    r_new = jnp.matmul(
+        onehot, r_cands.reshape(k * s_max, t * 2),
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(-1, t, 2)
     return CTCPrefixState(
         r=r_new,
         s=psi_sel,
