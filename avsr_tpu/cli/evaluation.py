@@ -294,20 +294,36 @@ class InferenceEngine:
             auds = [np.asarray(a)[: l * self.recognizer.audio_rate] for a, _, l in feats]
             vids = [np.asarray(v)[:l] for _, v, l in feats]
             # pipelined dispatch: the next chunk collates/transfers while
-            # this one decodes on device
+            # this one decodes on device. `pending` belongs to the PREVIOUS
+            # chunk, so failures must be attributed to the chunk stored with
+            # the future, not the one just submitted.
             try:
                 nxt = self.recognizer.transcribe_batch_async(
                     auds, vids, mode=self.mode, batch_pad=self.batch_size
                 )
-                if pending is not None:
-                    outputs.extend(self._decode_tokens(t) for t in pending.result())
             except Exception as e:
                 for s in chunk:
                     print(f"Error during inference for {self._segment_context(s)}")
                 raise e
-            pending = nxt
+            if pending is not None:
+                fut, fut_chunk = pending
+                try:
+                    outputs.extend(self._decode_tokens(t) for t in fut.result())
+                except Exception as e:
+                    for s in fut_chunk:
+                        print(
+                            f"Error during inference for {self._segment_context(s)}"
+                        )
+                    raise e
+            pending = (nxt, chunk)
         if pending is not None:
-            outputs.extend(self._decode_tokens(t) for t in pending.result())
+            fut, fut_chunk = pending
+            try:
+                outputs.extend(self._decode_tokens(t) for t in fut.result())
+            except Exception as e:
+                for s in fut_chunk:
+                    print(f"Error during inference for {self._segment_context(s)}")
+                raise e
         return outputs
 
     def infer_processed_sample(self, video) -> str:

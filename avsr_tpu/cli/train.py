@@ -19,6 +19,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_steps", type=int, default=400000)
     p.add_argument("--gradient_accumulation_steps", type=int, default=2)
     p.add_argument("--save_steps", type=int, default=2000)
+    p.add_argument("--save_total_limit", type=int, default=500,
+                   help="keep at most N checkpoints (reference "
+                        "save_total_limit, script/train.py:280)")
     p.add_argument("--eval_steps", type=int, default=2000)
     p.add_argument("--log_interval", type=int, default=25)
     p.add_argument("--dataloader_num_workers", type=int, default=10)
@@ -52,11 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a jax profiler trace of steps 10-12 here")
     p.add_argument("--use_flash_attention", type=str, default="auto",
                    choices=["auto", "true", "false"],
-                   help="Pallas flash attention in the encoder (fwd+bwd). "
-                        "'auto' = on when running on TPU. The flash path "
-                        "skips attention-prob dropout (kernel never forms "
-                        "the prob matrix); set 'false' for reference-exact "
-                        "training dynamics")
+                   help="Pallas flash attention in the encoder (fwd+bwd, "
+                        "attention-prob dropout included). 'auto' = on when "
+                        "running on TPU")
     return p
 
 
@@ -101,7 +102,7 @@ def main():
     else:
         model_cfg.encoder.use_flash_attention = args.use_flash_attention == "true"
     if model_cfg.encoder.use_flash_attention:
-        print("Flash attention: on (attention-prob dropout skipped)")
+        print("Flash attention: on")
     model_cfg.encoder.scan_unroll = args.scan_unroll
 
     if args.synthetic_dataset:
@@ -129,18 +130,28 @@ def main():
         train_samples = shard_for_host(train_ds)
         valid_fn = lambda: valid_ds  # noqa: E731
 
-        def interferer(rng):
-            idx = rng.randint(len(interferer_ds))
-            from avsr_tpu.data import media
+        import functools
 
-            sample = interferer_ds[int(idx)]
-            import io
+        @functools.lru_cache(maxsize=256)
+        def _decode_interferer(idx: int):
+            # Each draw used to ffmpeg-decode a full mp4 through a temp file
+            # on the data-plane critical path; interferer utterances are
+            # reused constantly (SNR mixing draws 0-2 per sample), so cache
+            # the decoded waveforms. 256 entries of a few seconds of fp32
+            # 16 kHz audio is ~100 MB of host RAM.
             import tempfile
 
+            from avsr_tpu.data import media
+
+            sample = interferer_ds[idx]
             with tempfile.NamedTemporaryFile(suffix=".mp4") as f:
                 f.write(sample["video"])
                 f.flush()
                 return media.load_audio(f.name)
+
+        def interferer(rng):
+            idx = rng.randint(len(interferer_ds))
+            return _decode_interferer(int(idx))
 
     collator = DataCollator(
         text_transform=text_transform,
@@ -165,6 +176,7 @@ def main():
         batch_size=args.batch_size,
         grad_accum=args.gradient_accumulation_steps,
         save_steps=args.save_steps,
+        save_total_limit=args.save_total_limit,
         eval_steps=args.eval_steps,
         log_interval=args.log_interval,
         num_workers=args.dataloader_num_workers,

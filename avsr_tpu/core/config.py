@@ -82,6 +82,10 @@ class AVHubertAVSRConfig:
     # fused Pallas decode-step self-attention (in-place KV row writes +
     # prefix-bounded reads); requires the lazy-reorder beam search
     decode_fused_attention: bool = False
+    # ONE Pallas program per decoder layer per decode step (norm+QKV+
+    # self-attn+cross-attn+FFN, VMEM-resident weights); supersedes
+    # decode_fused_attention and also requires the lazy-reorder beam search
+    decode_fused_layer: bool = False
     encoder: AVHubertEncoderConfig = field(default_factory=AVHubertEncoderConfig)
 
     @property

@@ -46,8 +46,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a pytree of host arrays with batch-dim sharding."""
+    """Device-put a pytree of host arrays with batch-dim sharding.
+
+    Single-process: a plain device_put scatter. Multi-process (--multihost):
+    each host holds only its shard of the global batch (shard_for_host gives
+    each host distinct samples), so the global array is assembled from
+    process-local data — the JAX equivalent of DDP's per-rank batches
+    (reference dispatch_batches=False, script/train.py:294-296).
+    """
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
@@ -88,6 +100,11 @@ def param_shardings(params, mesh: Mesh):
 def shard_accum_batch(batch, mesh: Mesh):
     """Device-put microbatched arrays (accum, B, ...): shard dim 1 on data."""
     sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 

@@ -39,8 +39,19 @@ class DataCollator:
     l_buckets: Optional[Sequence[int]] = None
     seed: Optional[int] = None
 
-    def __call__(self, features: List[Dict]) -> Dict[str, np.ndarray]:
-        rng = np.random.RandomState(self.seed)
+    def __call__(
+        self, features: List[Dict], group_index: Optional[int] = None
+    ) -> Dict[str, np.ndarray]:
+        # Per-group seeding: a fixed seed alone would replay the identical
+        # augmentation sequence (crops/time-masks/noise draws) on every
+        # batch in every worker. The training loop threads a monotonically
+        # increasing group index through so each batch gets a distinct,
+        # still-reproducible stream; group_index=None keeps direct calls
+        # (eval engine, tests) on the old fixed-seed behavior.
+        seed = self.seed
+        if seed is not None and group_index is not None:
+            seed = (seed + group_index) % (2**31)
+        rng = np.random.RandomState(seed)
         videos, audios, labels = [], [], []
         for feat in features:
             start = feat.get("start_time", 0.0)

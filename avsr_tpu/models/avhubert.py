@@ -94,13 +94,21 @@ class EncoderSelfAttention(nn.Module):
 
         if self.use_flash:
             # Pallas kernel with a custom VJP: used for training and
-            # inference. Attention-prob dropout is not applied on this path
-            # (the kernel never materializes the prob matrix); hidden-state
-            # dropouts are unaffected. Turn flash off to recover the
-            # reference's exact training dynamics.
+            # inference. Attention-prob dropout (reference avhubert.py:747
+            # layer -> HF Wav2Vec2 attention_dropout) runs inside the kernel
+            # via a pre-scaled keep mask drawn from the layer's dropout PRNG,
+            # so flash training matches the reference regularization recipe.
             from avsr_tpu.ops.pallas.flash_attention import mha_flash
 
-            out = mha_flash(q, k, v, padding_mask, scale=d_k ** -0.5)
+            drop_rng = None
+            rate = 0.0
+            if not deterministic and self.dropout > 0.0:
+                drop_rng = self.make_rng("dropout")
+                rate = self.dropout
+            out = mha_flash(
+                q, k, v, padding_mask, scale=d_k ** -0.5,
+                dropout_rate=rate, dropout_rng=drop_rng,
+            )
             out = out.reshape(b, t, self.dim)
             return nn.Dense(self.dim, name="out_proj")(out)
 

@@ -342,6 +342,7 @@ class ConformerAVSR(nn.Module):
     mtlalpha: float = 0.1
     # fused Pallas decode-step self-attention (lazy-reorder beam only)
     decode_fused_attention: bool = False
+    decode_fused_layer: bool = False
 
     @property
     def sos(self):
@@ -372,6 +373,7 @@ class ConformerAVSR(nn.Module):
             units=self.dunits, layers=self.dlayers,
             dropout=self.dropout, attn_dropout=self.attn_dropout,
             fused_decode_attention=self.decode_fused_attention,
+            fused_decode_layer=self.decode_fused_layer,
         )
 
     def encode(self, audios, videos, lengths=None, train: bool = False):
@@ -438,6 +440,7 @@ class ConformerASR(nn.Module):
     mtlalpha: float = 0.1
     # fused Pallas decode-step self-attention (lazy-reorder beam only)
     decode_fused_attention: bool = False
+    decode_fused_layer: bool = False
     input_layer: str = "conv1d"  # 'conv1d' (ASR) | 'conv3d' (VSR)
 
     @property
@@ -459,6 +462,7 @@ class ConformerASR(nn.Module):
             units=self.dunits, layers=self.dlayers,
             dropout=self.dropout, attn_dropout=self.attn_dropout,
             fused_decode_attention=self.decode_fused_attention,
+            fused_decode_layer=self.decode_fused_layer,
         )
 
     def encode(self, xs, lengths=None, train: bool = False):

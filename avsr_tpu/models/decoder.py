@@ -338,6 +338,10 @@ class TransformerDecoder(nn.Module):
     # fused Pallas decode-step self-attention (requires lazy beam reorder):
     # in-place KV row writes + prefix-bounded reads (ops/pallas/decode_attention)
     fused_decode_attention: bool = False
+    # ONE Pallas program per decoder layer per step (norm1+QKV+self-attn+
+    # cross-attn+FFN with VMEM-resident weights, ops/pallas/decoder_layer);
+    # implies the fused (N, S, 2C) cache layout and lazy beam reorder
+    fused_decode_layer: bool = False
 
     def setup(self):
         self.embed = nn.Embed(self.odim, self.dim)
@@ -397,7 +401,7 @@ class TransformerDecoder(nn.Module):
         )
         cdtype = jnp.dtype(self.cache_dtype)
         pdtype = jnp.dtype(self.decode_param_dtype)
-        if self.fused_decode_attention:
+        if self.fused_decode_attention or self.fused_decode_layer:
             # one fused (N, S, 2C) K|V buffer: lanes lead so the kernel's
             # per-group DMA slices the untiled major dim, and K|V concat
             # means one row-write per layer per step
@@ -407,14 +411,25 @@ class TransformerDecoder(nn.Module):
         stacked = self.blocks.variables["params"]
         # split the scan-stacked src K/V (and parameters) into per-layer
         # buffers once, outside the decode loop (see DecoderCache docstring)
+        if self.fused_decode_layer:
+            from avsr_tpu.ops.pallas.decoder_layer import pack_layer_params
+
+            params = tuple(
+                pack_layer_params(
+                    jax.tree.map(lambda a: a[i], stacked), pdtype
+                )
+                for i in range(self.layers)
+            )
+        else:
+            params = tuple(
+                jax.tree.map(lambda a: a[i].astype(pdtype), stacked)
+                for i in range(self.layers)
+            )
         return DecoderCache(
             self_kv=tuple(zeros for _ in range(self.layers)),
             src_k=tuple(src_k[i].astype(cdtype) for i in range(self.layers)),
             src_v=tuple(src_v[i].astype(cdtype) for i in range(self.layers)),
-            params=tuple(
-                jax.tree.map(lambda a: a[i].astype(pdtype), stacked)
-                for i in range(self.layers)
-            ),
+            params=params,
             head_w=self.variables["params"]["output_layer"]["kernel"].astype(pdtype),
         )
 
@@ -429,10 +444,10 @@ class TransformerDecoder(nn.Module):
         """One decode step: returns (log-probs (B, V), updated cache)."""
         first = cache.self_kv[0]
         kv_len = first.shape[1] if first.ndim == 3 else first.shape[0]
-        if self.fused_decode_attention:
+        if self.fused_decode_attention or self.fused_decode_layer:
             if lane_bias is None:
                 raise ValueError(
-                    "fused_decode_attention requires lazy beam reorder "
+                    "fused decode kernels require lazy beam reorder "
                     "(BeamSearchConfig.lazy_reorder) supplying lane_bias"
                 )
             # kernel layout: (B, K, J, S) -> (B, K, S, J); validity (s <= pos
@@ -446,23 +461,49 @@ class TransformerDecoder(nn.Module):
         pe = sinusoidal_pe(max(self.max_decode_len, kv_len), self.dim, x.dtype)
         x = x + jax.lax.dynamic_slice_in_dim(pe, pos, 1, axis=1)
         x = x.astype(jnp.dtype(self.decode_param_dtype))
-        # manual unrolled loop over the pre-sliced per-layer parameters in
-        # the cache instead of nn.scan: scan would thread the KV caches
-        # through stacked xs/ys, materializing a full-cache unstack + restack
-        # each step (the dominant beam-loop cost in HLO profiles)
-        layer = DecoderLayer(
-            self.dim, self.heads, self.units, self.dropout, self.attn_dropout,
-            parent=None,  # detached template, applied with explicit params
-        )
-        new_kvs = []
-        for idx in range(self.layers):
-            x, kv = layer.apply(
-                {"params": cache.params[idx]},
-                x, pos, cache.self_kv[idx],
-                cache.src_k[idx], cache.src_v[idx], memory_mask, lane_bias,
-                method="step",
+        if self.fused_decode_layer:
+            # one Pallas program per layer: norm1+QKV+self-attn (lazy
+            # reorder) + cross-attn + FFN with VMEM-resident weights
+            from avsr_tpu.ops.pallas.decoder_layer import decoder_layer_step
+
+            xf = x[:, 0, :]
+            nb, s_enc = cache.src_k[0].shape[:2]
+            if memory_mask is not None:
+                mem_bias = jnp.where(
+                    memory_mask[:, 0, :], 0.0, -1.0e30
+                ).astype(jnp.float32)
+            else:
+                mem_bias = jnp.zeros((nb, s_enc), jnp.float32)
+            new_kvs = []
+            for idx in range(self.layers):
+                xf, kv = decoder_layer_step(
+                    pos, xf, cache.self_kv[idx],
+                    cache.src_k[idx].reshape(nb, s_enc, self.dim),
+                    cache.src_v[idx].reshape(nb, s_enc, self.dim),
+                    mem_bias, lane_bias, cache.params[idx],
+                    lanes=lane_bias.shape[1], heads=self.heads,
+                )
+                new_kvs.append(kv)
+            x = xf[:, None, :]
+        else:
+            # manual unrolled loop over the pre-sliced per-layer parameters in
+            # the cache instead of nn.scan: scan would thread the KV caches
+            # through stacked xs/ys, materializing a full-cache unstack +
+            # restack each step (the dominant beam-loop cost in HLO profiles)
+            layer = DecoderLayer(
+                self.dim, self.heads, self.units, self.dropout,
+                self.attn_dropout,
+                parent=None,  # detached template, applied with explicit params
             )
-            new_kvs.append(kv)
+            new_kvs = []
+            for idx in range(self.layers):
+                x, kv = layer.apply(
+                    {"params": cache.params[idx]},
+                    x, pos, cache.self_kv[idx],
+                    cache.src_k[idx], cache.src_v[idx], memory_mask, lane_bias,
+                    method="step",
+                )
+                new_kvs.append(kv)
         y = self.after_norm(x[:, 0])  # fp32 LN params promote y to fp32
         bias = self.variables["params"]["output_layer"]["bias"]
         logits = y.astype(cache.head_w.dtype) @ cache.head_w + bias

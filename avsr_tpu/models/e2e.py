@@ -57,6 +57,7 @@ class AVSRModel(nn.Module):
                 cache_dtype=getattr(c, "decoder_cache_dtype", "float32"),
                 decode_param_dtype=getattr(c, "decoder_param_dtype", "float32"),
                 fused_decode_attention=getattr(c, "decode_fused_attention", False),
+                fused_decode_layer=getattr(c, "decode_fused_layer", False),
             )
         if c.adim != c.ddim:
             self.proj_decoder = nn.Dense(c.ddim)

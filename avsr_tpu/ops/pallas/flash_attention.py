@@ -8,9 +8,22 @@ matching the encoder's masking semantics (models/avhubert.py).
 
 The backward pass (jax.custom_vjp) recomputes attention probabilities from
 the saved per-row logsumexp (flash-attention-2 style): one kernel produces
-dQ streaming K/V, a second produces dK/dV streaming Q/dO. Attention-prob
-dropout is not part of the kernel; training with flash attention runs the
-attention matmul dropout-free (hidden-state dropouts are unaffected).
+dQ streaming K/V, a second produces dK/dV streaming Q/dO.
+
+Attention-prob dropout (reference trains with attention_dropout=0.1 inside
+HF Wav2Vec2Attention, avhubert.py:747-layer) is supported via an explicit
+pre-scaled mask tensor (entries 0 or 1/keep_prob) generated outside the
+kernel from the layer's dropout PRNG and streamed through all three
+kernels. Keeping the mask an input (rather than re-deriving it from an
+in-kernel PRNG) guarantees fwd/bwd consistency by construction, works in
+interpret mode, and makes the path exactly testable against an eager
+reference given the same mask; at these sequence lengths (T <= ~512) the
+(N, T, T) mask is a few MB — noise next to the weight traffic. Dropout
+applies to the *normalized* probabilities; since the per-row normalizer l
+uses the undropped p and division is elementwise, the online-softmax
+update accumulates p*mask into acc while l accumulates p, matching
+softmax -> dropout -> matmul exactly. The saved delta = rowsum(dO*O)
+identity still holds under dropout (delta = rowsum(P o dP~) = dO.O).
 
 Layout: q, k, v are (N=B*H, T, D) with T padded to the block size; grids
 are (N, T/block) and each program streams the opposing sequence blocks
@@ -29,10 +42,14 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1.0e30
 
 
-def _flash_fwd_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
-                      block_k: int, scale: float):
-    # blocks: bias (1,1,T), q (1,block_q,D), k/v (1,T,D),
+def _flash_fwd_kernel(bias_ref, *refs, block_k: int, scale: float):
+    # blocks: bias (1,1,T), [mask (1,block_q,T)], q (1,block_q,D), k/v (1,T,D),
     #         o (1,block_q,D), lse (1,1,block_q)
+    if len(refs) == 6:
+        mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref = refs
+        mask_ref = None
     t = k_ref.shape[1]
     d = q_ref.shape[2]
     block_q = q_ref.shape[1]
@@ -53,9 +70,14 @@ def _flash_fwd_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
         alpha = jnp.exp(m_prev - m_cur)
         p = jnp.exp(s - m_cur[:, None])
+        # normalizer l uses the UNDROPPED p (dropout applies post-softmax);
+        # only the value accumulation sees the pre-scaled 0-or-1/keep mask
         l_cur = l_prev * alpha + jnp.sum(p, axis=1)
+        pv = p
+        if mask_ref is not None:
+            pv = p * mask_ref[0, :, pl.ds(i * block_k, block_k)]
         acc = acc * alpha[:, None] + jax.lax.dot_general(
-            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            pv.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return m_cur, l_cur, acc
@@ -68,10 +90,14 @@ def _flash_fwd_kernel(bias_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
     lse_ref[0, 0] = m + jnp.log(jnp.maximum(l, 1e-30))
 
 
-def _flash_bwd_dq_kernel(bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                         delta_ref, dq_ref, *, block_k: int, scale: float):
-    # blocks: bias (1,1,T), q/do (1,block_q,D), k/v (1,T,D),
-    #         lse/delta (1,1,block_q), dq (1,block_q,D)
+def _flash_bwd_dq_kernel(bias_ref, *refs, block_k: int, scale: float):
+    # blocks: bias (1,1,T), [mask (1,block_q,T)], q/do (1,block_q,D),
+    #         k/v (1,T,D), lse/delta (1,1,block_q), dq (1,block_q,D)
+    if len(refs) == 8:
+        mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref = refs
+    else:
+        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref = refs
+        mask_ref = None
     t = k_ref.shape[1]
     d = q_ref.shape[2]
     block_q = q_ref.shape[1]
@@ -93,6 +119,9 @@ def _flash_bwd_dq_kernel(bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
             do, v_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if mask_ref is not None:
+            # dP = (dO V^T) o M/keep : dropout gates the prob gradient
+            dp = dp * mask_ref[0, :, pl.ds(i * block_k, block_k)]
         ds = (p * (dp - delta[:, None])).astype(k_blk.dtype)
         return acc + jax.lax.dot_general(
             ds, k_blk, (((1,), (0,)), ((), ())),
@@ -104,11 +133,14 @@ def _flash_bwd_dq_kernel(bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
 
 
-def _flash_bwd_dkv_kernel(bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                          delta_ref, dk_ref, dv_ref, *, block_q: int,
-                          scale: float):
-    # blocks: bias (1,1,block_k), k/v (1,block_k,D), q/do (1,T,D),
-    #         lse/delta (1,1,T), dk/dv (1,block_k,D)
+def _flash_bwd_dkv_kernel(bias_ref, *refs, block_q: int, scale: float):
+    # blocks: bias (1,1,block_k), [mask (1,T,block_k)], k/v (1,block_k,D),
+    #         q/do (1,T,D), lse/delta (1,1,T), dk/dv (1,block_k,D)
+    if len(refs) == 9:
+        mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref = refs
+    else:
+        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref = refs
+        mask_ref = None
     t = q_ref.shape[1]
     d = q_ref.shape[2]
     block_k = k_ref.shape[1]
@@ -127,14 +159,20 @@ def _flash_bwd_dkv_kernel(bias_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
             preferred_element_type=jnp.float32,
         ) * scale + bias[None, :]
         p = jnp.exp(s - lse_blk[:, None])  # (block_q, block_k) fp32
+        pm = p
+        if mask_ref is not None:
+            pm = p * mask_ref[0, pl.ds(i * block_q, block_q), :]
+        # dV = P~^T dO with the dropped+rescaled probabilities
         dv = dv + jax.lax.dot_general(
-            p.astype(do_blk.dtype), do_blk, (((0,), (0,)), ((), ())),
+            pm.astype(do_blk.dtype), do_blk, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
             do_blk, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if mask_ref is not None:
+            dp = dp * mask_ref[0, pl.ds(i * block_q, block_q), :]
         ds = (p * (dp - delta_blk[:, None])).astype(q_blk.dtype)
         dk = dk + jax.lax.dot_general(
             ds, q_blk, (((0,), (0,)), ((), ())),
@@ -154,23 +192,34 @@ def _resolve_interpret(interpret):
     return interpret
 
 
-def _fwd_impl(q, k, v, key_bias, scale, block_q, block_k, interpret):
+def _fwd_impl(q, k, v, key_bias, mask, scale, block_q, block_k, interpret):
     n, t, d = q.shape
     if t % block_q or t % block_k:
         raise ValueError(f"sequence length {t} must be a multiple of the block size")
     grid = (n, t // block_q)
+    in_specs = [
+        pl.BlockSpec((1, 1, t), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [key_bias[:, None, :]]
+    if mask is not None:
+        in_specs.append(
+            pl.BlockSpec((1, block_q, t), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(mask)
+    in_specs += [
+        pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t, d), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, t, d), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args += [q, k, v]
     return pl.pallas_call(
         functools.partial(_flash_fwd_kernel, block_k=block_k, scale=scale),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, t), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, d), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, d), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
@@ -182,15 +231,16 @@ def _fwd_impl(q, k, v, key_bias, scale, block_q, block_k, interpret):
             jax.ShapeDtypeStruct((n, 1, t), jnp.float32),
         ],
         interpret=_resolve_interpret(interpret),
-    )(key_bias[:, None, :], q, k, v)
+    )(*args)
 
 
-def _bwd_impl(q, k, v, key_bias, out, lse, g, scale, block_q, block_k,
+def _bwd_impl(q, k, v, key_bias, mask, out, lse, g, scale, block_q, block_k,
               interpret):
     n, t, d = q.shape
     interpret = _resolve_interpret(interpret)
     bias3 = key_bias[:, None, :]
-    # delta_i = rowsum(dO_i * O_i), cheap elementwise reduce left to XLA
+    # delta_i = rowsum(dO_i * O_i), cheap elementwise reduce left to XLA.
+    # (Holds under dropout too: rowsum(P o dP~) = dO . O.)
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1)[:, None, :]  # (N, 1, T)
 
@@ -202,51 +252,75 @@ def _bwd_impl(q, k, v, key_bias, out, lse, g, scale, block_q, block_k,
                               memory_space=pltpu.VMEM)
     stat_full = pl.BlockSpec((1, 1, t), full_seq, memory_space=pltpu.VMEM)
 
+    dq_specs = [stat_full]
+    dq_args = [bias3]
+    if mask is not None:
+        dq_specs.append(
+            pl.BlockSpec((1, block_q, t), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        dq_args.append(mask)
+    dq_specs += [row_blk_q, seq_ref, seq_ref, row_blk_q, stat_blk_q, stat_blk_q]
+    dq_args += [q, k, v, g, lse, delta]
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, block_k=block_k, scale=scale),
         grid=(n, t // block_q),
-        in_specs=[stat_full, row_blk_q, seq_ref, seq_ref, row_blk_q,
-                  stat_blk_q, stat_blk_q],
+        in_specs=dq_specs,
         out_specs=row_blk_q,
         out_shape=jax.ShapeDtypeStruct((n, t, d), q.dtype),
         interpret=interpret,
-    )(bias3, q, k, v, g, lse, delta)
+    )(*dq_args)
 
     row_blk_k = pl.BlockSpec((1, block_k, d), lambda b, i: (b, i, 0),
                              memory_space=pltpu.VMEM)
     bias_blk_k = pl.BlockSpec((1, 1, block_k), lambda b, i: (b, 0, i),
                               memory_space=pltpu.VMEM)
+    dkv_specs = [bias_blk_k]
+    dkv_args = [bias3]
+    if mask is not None:
+        # column block of the (N, Tq, Tk) mask: all q rows, this k block
+        dkv_specs.append(
+            pl.BlockSpec((1, t, block_k), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM)
+        )
+        dkv_args.append(mask)
+    dkv_specs += [seq_ref, row_blk_k, row_blk_k, seq_ref, stat_full, stat_full]
+    dkv_args += [q, k, v, g, lse, delta]
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, block_q=block_q, scale=scale),
         grid=(n, t // block_k),
-        in_specs=[bias_blk_k, seq_ref, row_blk_k, row_blk_k, seq_ref,
-                  stat_full, stat_full],
+        in_specs=dkv_specs,
         out_specs=[row_blk_k, row_blk_k],
         out_shape=[
             jax.ShapeDtypeStruct((n, t, d), k.dtype),
             jax.ShapeDtypeStruct((n, t, d), v.dtype),
         ],
         interpret=interpret,
-    )(bias3, q, k, v, g, lse, delta)
+    )(*dkv_args)
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash_attention(q, k, v, key_bias, scale, block_q, block_k, interpret):
-    out, _ = _fwd_impl(q, k, v, key_bias, scale, block_q, block_k, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_attention(q, k, v, key_bias, mask, scale, block_q, block_k,
+                     interpret, has_dropout):
+    out, _ = _fwd_impl(q, k, v, key_bias, mask if has_dropout else None,
+                       scale, block_q, block_k, interpret)
     return out
 
 
-def _flash_attention_fwd(q, k, v, key_bias, scale, block_q, block_k, interpret):
-    out, lse = _fwd_impl(q, k, v, key_bias, scale, block_q, block_k, interpret)
-    return out, (q, k, v, key_bias, out, lse)
+def _flash_attention_fwd(q, k, v, key_bias, mask, scale, block_q, block_k,
+                         interpret, has_dropout):
+    out, lse = _fwd_impl(q, k, v, key_bias, mask if has_dropout else None,
+                         scale, block_q, block_k, interpret)
+    return out, (q, k, v, key_bias, mask, out, lse)
 
 
-def _flash_attention_bwd(scale, block_q, block_k, interpret, res, g):
-    q, k, v, key_bias, out, lse = res
-    dq, dk, dv = _bwd_impl(q, k, v, key_bias, out, lse, g, scale, block_q,
-                           block_k, interpret)
-    return dq, dk, dv, jnp.zeros_like(key_bias)
+def _flash_attention_bwd(scale, block_q, block_k, interpret, has_dropout,
+                         res, g):
+    q, k, v, key_bias, mask, out, lse = res
+    dq, dk, dv = _bwd_impl(q, k, v, key_bias, mask if has_dropout else None,
+                           out, lse, g, scale, block_q, block_k, interpret)
+    return dq, dk, dv, jnp.zeros_like(key_bias), jnp.zeros_like(mask)
 
 
 _flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
@@ -264,9 +338,14 @@ def flash_attention(
     block_q: int = 128,
     block_k: int = 128,
     interpret: bool | None = None,
+    dropout_mask: jax.Array | None = None,  # (N, T, T) entries 0 or 1/keep
 ) -> jax.Array:
-    return _flash_attention(q, k, v, key_bias, scale, block_q, block_k,
-                            interpret)
+    if dropout_mask is None:
+        dummy = jnp.zeros((1, 1, 1), q.dtype)
+        return _flash_attention(q, k, v, key_bias, dummy, scale, block_q,
+                                block_k, interpret, False)
+    return _flash_attention(q, k, v, key_bias, dropout_mask, scale, block_q,
+                            block_k, interpret, True)
 
 
 def mha_flash(
@@ -276,8 +355,16 @@ def mha_flash(
     padding_mask: jax.Array | None,  # (B, T) True = valid, or None
     scale: float,
     block: int = 128,
+    dropout_rate: float = 0.0,
+    dropout_rng: jax.Array | None = None,
 ) -> jax.Array:
-    """Multi-head wrapper: (B, T, H, Dh) -> (B, T, H, Dh), T padded to block."""
+    """Multi-head wrapper: (B, T, H, Dh) -> (B, T, H, Dh), T padded to block.
+
+    dropout_rate > 0 with a PRNG key applies attention-prob dropout inside
+    the kernel (reference attention_dropout, HF Wav2Vec2Attention): the
+    pre-scaled keep mask is drawn here once and shared by forward and both
+    backward kernels via the VJP residuals.
+    """
     b, t, h, dh = q.shape
     pad = (-t) % block
     if pad:
@@ -296,10 +383,17 @@ def mha_flash(
     def to_rows(x):
         return jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, tp, dh)
 
+    mask = None
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = 1.0 - dropout_rate
+        mask = jax.random.bernoulli(
+            dropout_rng, keep, (b * h, tp, tp)
+        ).astype(q.dtype) / jnp.asarray(keep, q.dtype)
+
     out = flash_attention(
         to_rows(q), to_rows(k), to_rows(v),
         jnp.repeat(bias, h, axis=0), scale=scale,
-        block_q=block, block_k=block,
+        block_q=block, block_k=block, dropout_mask=mask,
     )
     out = out.reshape(b, h, tp, dh).transpose(0, 2, 1, 3)
     return out[:, :t]

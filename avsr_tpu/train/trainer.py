@@ -263,11 +263,24 @@ def replicate_state(state: TrainState, mesh) -> TrainState:
     """Place the state with the exact sharding the jitted step declares.
 
     Avoids a second compilation on step 2 (the donated outputs otherwise come
-    back with layouts that differ from the initial host arrays').
+    back with layouts that differ from the initial host arrays'). Under
+    multi-process execution the mesh spans non-addressable devices, so the
+    global arrays are assembled from (identical) process-local data instead
+    of device_put.
     """
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, s), state, train_state_shardings(state, mesh)
-    )
+    import numpy as np
+
+    shardings = train_state_shardings(state, mesh)
+    if jax.process_count() > 1:
+        # make_array_from_callback slices the full host copy per shard, which
+        # is correct for replicated AND tensor-sharded leaves alike (every
+        # process computed the identical full array from the same seed).
+        def place(x, s):
+            h = np.asarray(x)
+            return jax.make_array_from_callback(h.shape, s, lambda idx: h[idx])
+
+        return jax.tree.map(place, state, shardings)
+    return jax.tree.map(lambda x, s: jax.device_put(x, s), state, shardings)
 
 
 def train_state_shardings(state: TrainState, mesh) -> TrainState:
@@ -332,6 +345,8 @@ def make_parallel_accum_train_step(model, tx, mesh, compute_dtype: str = "float3
 
 
 def save_checkpoint(path: str, state: TrainState) -> None:
+    """Blocking single-checkpoint save (tools/tests; the training loop uses
+    CheckpointManager below for async saves + retention)."""
     import orbax.checkpoint as ocp
 
     ckpt = ocp.StandardCheckpointer()
@@ -344,3 +359,68 @@ def restore_checkpoint(path: str, template: TrainState) -> TrainState:
 
     ckpt = ocp.StandardCheckpointer()
     return ckpt.restore(path, template)
+
+
+class CheckpointManager:
+    """Async step-tagged checkpoints with retention and best-model tracking.
+
+    TPU-native counterpart of the reference HF Trainer checkpoint policy
+    (/root/reference/script/train.py:273,280,286): ``save_total_limit``
+    (keep-last-N), ``metric_for_best_model='loss'`` (best eval loss recorded
+    in ``best.json``), and non-blocking saves — at 325M params x fp32 master
+    + Adam moments a synchronous save stalls training for seconds; orbax's
+    async checkpointer snapshots device arrays and writes in background
+    threads while the step loop keeps dispatching.
+    """
+
+    def __init__(self, root: str, max_to_keep: Optional[int] = None):
+        import orbax.checkpoint as ocp
+
+        self._root = root
+        self._mgr = ocp.CheckpointManager(
+            root,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                enable_async_checkpointing=True,
+                # step dirs are bare ints ("2000"), matching the previous
+                # StandardCheckpointer layout so old runs remain resumable
+                step_format_fixed_length=None,
+            ),
+        )
+        self._ocp = ocp
+        self._best: Optional[float] = None
+
+    def save(self, step: int, state: TrainState) -> None:
+        """Queue an async save; returns as soon as device arrays are copied."""
+        self._mgr.save(step, args=self._ocp.args.StandardSave(state))
+
+    def note_eval(self, step: int, metrics: Dict[str, float],
+                  metric: str = "loss") -> bool:
+        """Track best eval metric (lower is better); returns True if improved."""
+        import json
+        import os
+
+        value = float(metrics.get(metric, float("nan")))
+        if value != value:  # NaN
+            return False
+        if self._best is None or value < self._best:
+            self._best = value
+            with open(os.path.join(self._root, "best.json"), "w") as f:
+                json.dump({"step": step, metric: value}, f)
+            return True
+        return False
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, step: int, template: TrainState) -> TrainState:
+        return self._mgr.restore(
+            step, args=self._ocp.args.StandardRestore(template)
+        )
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mgr.wait_until_finished()
+        self._mgr.close()

@@ -487,3 +487,87 @@ def test_fused_decode_attention_matches_eager(setup, seed, t):
     got = np.asarray(yseq)[: int(length)]
     np.testing.assert_array_equal(got, y_ref)
     np.testing.assert_allclose(score, s_ref, rtol=2e-4, atol=0.02)
+
+
+@pytest.mark.parametrize("seed,t", [(111, 14), (113, 20)])
+def test_fused_decode_layer_matches_eager(setup, seed, t):
+    """ONE-Pallas-program-per-layer decode step (norm+QKV+self-attn+cross-
+    attn+FFN, ops/pallas/decoder_layer) must stay token-exact vs the
+    physically-reordered XLA path."""
+    from tests.torch_ref import tiny_jax_config
+
+    tmodel, jmodel, variables, jcfg = setup
+    rng = np.random.RandomState(seed)
+    x = (rng.randn(t, 32) * 2.0).astype(np.float32)
+    y_ref, s_ref = _our_beam(jmodel, variables, jcfg, x)
+
+    cfg_f = tiny_jax_config()
+    cfg_f.decode_fused_layer = True
+    jmodel_f = AVSRModel(cfg_f)
+    feats = jnp.asarray(x)
+    ctc_logp = jmodel_f.apply(variables, feats[None], method="ctc_log_probs")[0]
+    bcfg = BeamSearchConfig(
+        beam_size=3, ctc_weight=0.1, sos=cfg_f.sos, eos=cfg_f.eos,
+        vocab=cfg_f.odim, shared_src_kv=True, lazy_reorder=True,
+        max_decode_tokens=16,
+    )
+
+    def dec_step(y, pos, cache, mem_mask, lane_bias=None):
+        return jmodel_f.apply(
+            variables, y, pos, cache, mem_mask, lane_bias, method="decoder_step"
+        )
+
+    def dec_init(memory, maxlen, beam=1):
+        return jmodel_f.apply(variables, memory, maxlen, beam,
+                              method="decoder_init")
+
+    yseq, length, score = beam_search(
+        bcfg, dec_step, dec_init, feats, ctc_logp, jnp.asarray(x.shape[0])
+    )
+    got = np.asarray(yseq)[: int(length)]
+    np.testing.assert_array_equal(got, y_ref)
+    np.testing.assert_allclose(score, s_ref, rtol=2e-4, atol=0.02)
+
+
+def test_fused_decode_layer_batched_mixed_lengths(setup):
+    """Batched fused-layer decode (odd batch -> group clamp, padded memory
+    masks) must match per-utterance eager decoding."""
+    from avsr_tpu.decode.beam import beam_search_batched
+    from tests.torch_ref import tiny_jax_config
+
+    tmodel, jmodel, variables, jcfg = setup
+    rng = np.random.RandomState(131)
+    t_max = 20
+    lens = [20, 13, 7]
+    xs = [(rng.randn(t, 32) * 2.0).astype(np.float32) for t in lens]
+    singles = [_our_beam(jmodel, variables, jcfg, x) for x in xs]
+
+    cfg_f = tiny_jax_config()
+    cfg_f.decode_fused_layer = True
+    jmodel_f = AVSRModel(cfg_f)
+    feats = np.zeros((len(xs), t_max, 32), np.float32)
+    for i, x in enumerate(xs):
+        feats[i, : len(x)] = x
+    feats = jnp.asarray(feats)
+    ctc_logp = jmodel_f.apply(variables, feats, method="ctc_log_probs")
+    bcfg = BeamSearchConfig(
+        beam_size=3, ctc_weight=0.1, sos=cfg_f.sos, eos=cfg_f.eos,
+        vocab=cfg_f.odim, shared_src_kv=True, lazy_reorder=True,
+    )
+
+    def dec_step(y, pos, cache, mem_mask, lane_bias=None):
+        return jmodel_f.apply(
+            variables, y, pos, cache, mem_mask, lane_bias, method="decoder_step"
+        )
+
+    def dec_init(memory, maxlen, beam=1):
+        return jmodel_f.apply(variables, memory, maxlen, beam,
+                              method="decoder_init")
+
+    yseqs, lengths, scores = beam_search_batched(
+        bcfg, dec_step, dec_init, feats, ctc_logp, jnp.asarray(lens)
+    )
+    for i, (y_ref, s_ref) in enumerate(singles):
+        got = np.asarray(yseqs[i])[: int(lengths[i])]
+        np.testing.assert_array_equal(got, y_ref, err_msg=f"utt {i}")
+        np.testing.assert_allclose(float(scores[i]), s_ref, rtol=1e-4, atol=1e-4)

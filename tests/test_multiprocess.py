@@ -1,0 +1,56 @@
+"""True multi-process jax.distributed test (2 local processes over gloo).
+
+The reference demonstrates real multi-worker execution with torchrun DDP
+(/root/reference/script/train.py:23, README "Multi-GPU Distributed
+Training"); the virtual-device tests elsewhere cover sharding semantics but
+never cross a process boundary. This spawns two actual processes that
+initialize jax.distributed against a local coordinator and run the
+--multihost code paths end-to-end (see distributed_worker.py).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed(tmp_path):
+    # bounded by the communicate(timeout=240) below, not pytest-timeout
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (os.path.dirname(os.path.dirname(worker)),
+                    env.get("PYTHONPATH")) if p
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port), str(tmp_path / "ck")],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"worker {i}: OK" in out
