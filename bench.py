@@ -49,7 +49,8 @@ def main() -> None:
 
     cfg = AVHubertAVSRConfig(decoder_cache_dtype="bfloat16", decoder_param_dtype="bfloat16")
     cfg.encoder.use_flash_attention = True
-    cfg.decode_fused_attention = True
+    # one Pallas program per decoder layer per step (ops/pallas/decoder_layer)
+    cfg.decode_fused_layer = True
     model = AVSRModel(cfg)
 
     rng = np.random.RandomState(0)
