@@ -49,8 +49,10 @@ def main() -> None:
 
     cfg = AVHubertAVSRConfig(decoder_cache_dtype="bfloat16", decoder_param_dtype="bfloat16")
     cfg.encoder.use_flash_attention = True
-    # one Pallas program per decoder layer per step (ops/pallas/decoder_layer)
-    cfg.decode_fused_layer = True
+    # split fused-attention kernels + XLA FFN/cross-attn: currently the
+    # fastest decode path (device trace: 502 ms beam loop vs 816 ms for the
+    # whole-layer kernel at B=16 — see BASELINE.md "fused layer kernel" row)
+    cfg.decode_fused_attention = True
     model = AVSRModel(cfg)
 
     rng = np.random.RandomState(0)
