@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from avsr_tpu.decode import ctc_prefix
+from avsr_tpu.ops.pallas.row_gather import row_gather
 
 NEG = -1.0e30
 D_END = -10.0  # log(1 * exp(-10)), e2e_asr_common.py:18
@@ -154,9 +155,22 @@ def beam_search_batched(
         mem_mask = mem_mask[:, None, :]  # (B*K, 1, S)
         dec_cache = decoder_init(memory, kv_len)
 
+    # pad the CTC time axis to a lane multiple, THEN apply reference padding:
+    # the extra frames become ordinary padded frames (blank 0 / LOG_ZERO),
+    # which every downstream mask already treats as beyond-xlen. The rounded
+    # length keeps the transposed row-gather table's rows lane-aligned.
+    t_pad = -(-s_max // 128) * 128
+    if t_pad != s_max:
+        ctc_log_probs = jnp.pad(ctc_log_probs, ((0, 0), (0, t_pad - s_max), (0, 0)))
     log_probs = jax.vmap(ctc_prefix.pad_log_probs, in_axes=(0, 0, None))(
         ctc_log_probs, xlens, cfg.blank
     )
+    # loop-invariant CTC scoring inputs, hoisted out of the decode loop:
+    # the transposed table feeds the per-step candidate row-gather (12 row
+    # DMAs/utterance instead of re-reading the full (T, V) tensor), and the
+    # blank cumsum never changes across steps.
+    logp_rows = jnp.swapaxes(log_probs, 1, 2).reshape(b * v, t_pad)  # (B*V, Tp)
+    cum_b_all = jnp.cumsum(log_probs[:, :, cfg.blank], axis=1)  # (B, Tp)
 
     init = BeamState(
         i=jnp.asarray(0, jnp.int32),
@@ -233,9 +247,20 @@ def beam_search_batched(
         )
         weighted = w_dec * cand_dec  # (B, K, S'+1)
         if use_ctc:
+            # candidate columns via DMA row-gather from the hoisted
+            # transposed table (see ops/pallas/row_gather)
+            flat_rows = (
+                part_ids + jnp.arange(b, dtype=jnp.int32)[:, None, None] * v
+            ).reshape(-1)
+            xs_rows = row_gather(logp_rows, flat_rows)  # (B*K*S', Tp)
+            n_pre = cfg.pre_beam_size
+            xs = jnp.transpose(
+                xs_rows.reshape(b, k, n_pre, t_pad), (0, 3, 1, 2)
+            )  # (B, Tp, K, S')
             psi_cand, psi_eos, r_cands = jax.vmap(
-                ctc_prefix.score_candidates, in_axes=(0, 0, 0, 0, None, None)
-            )(log_probs, xlens, st.ctc, part_ids, cfg.eos, cfg.blank)
+                ctc_prefix.score_candidates_cols,
+                in_axes=(0, 0, 0, 0, 0, None, None),
+            )(xs, cum_b_all, xlens, st.ctc, part_ids, cfg.eos, cfg.blank)
             psi_all = jnp.concatenate([psi_cand, psi_eos[..., None]], axis=-1)
             weighted = weighted + w_ctc * (psi_all - st.ctc.s[..., None])
             # blank is never selectable (psi LOG_ZERO already enforces this)
@@ -263,9 +288,15 @@ def beam_search_batched(
         yseq = jnp.take_along_axis(st.yseq, prev[..., None], axis=1)
         yseq = yseq.at[..., i + 1].set(token)
         if cfg.lazy_reorder:
-            # reorder only the tiny ancestry matrix; the KV caches stay put
-            anc = jnp.take_along_axis(
-                anc, jnp.broadcast_to(prev[None], anc.shape), axis=2
+            # reorder only the tiny ancestry matrix; the KV caches stay put.
+            # As a (K_new, K_old) one-hot batched matmul, NOT take_along_axis:
+            # XLA lowers that gather to a ~10 ns/element scalar loop on TPU
+            # (~97 us/step for this s32[S*B*K] op at B=16); the matmul picks
+            # the same small-int values exactly and runs in ~2 us.
+            oh_prev = (prev[:, :, None] == jnp.arange(k)).astype(jnp.float32)
+            anc = (
+                jnp.einsum("sbj,bkj->sbk", anc.astype(jnp.float32), oh_prev)
+                .astype(jnp.int32)
             )
         elif hasattr(cache, "self_kv"):
             # per-layer tuple of seq-major (maxlen, B*K, 2, H, Dh) buffers

@@ -128,17 +128,40 @@ def score_candidates(
       r_cands:  (K, S, T, 2) forward probs of each candidate extension
     """
     t_max, v = log_probs.shape
-    k, s = part_ids.shape
 
     # candidate-column gather as a one-hot matmul: tiny MXU contraction
     # instead of a gather (TPU lowers dynamic gathers to slow loops).
     # HIGHEST precision: with DEFAULT the fp32 log-prob operand is rounded
     # to bf16 on TPU, so the "gather" would return truncated values.
+    # (The beam loop instead pre-gathers xs with a DMA kernel — see
+    # ops/pallas/row_gather — because this matmul re-reads the full (T, V)
+    # tensor from HBM on every decode step; this path serves tests and
+    # single-shot callers.)
     onehot = jax.nn.one_hot(part_ids.reshape(-1), v, dtype=log_probs.dtype)
     xs = jnp.matmul(
         log_probs, onehot.T, precision=jax.lax.Precision.HIGHEST
-    ).reshape(t_max, k, s)  # (T, K, S)
-    xb = log_probs[:, blank]  # (T,)
+    ).reshape(t_max, *part_ids.shape)  # (T, K, S)
+    cum_b = jnp.cumsum(log_probs[:, blank])  # (T,)
+    return score_candidates_cols(xs, cum_b, xlen, state, part_ids, eos, blank)
+
+
+def score_candidates_cols(
+    xs: jax.Array,  # (T, K, S) log-probs at the candidate tokens
+    cum_b: jax.Array,  # (T,) inclusive cumsum of blank log-probs
+    xlen: jax.Array,
+    state: CTCPrefixState,
+    part_ids: jax.Array,  # (K, S)
+    eos: int,
+    blank: int = 0,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """score_candidates on pre-gathered candidate columns.
+
+    The candidate gather and the blank cumsum are the only uses of the full
+    (T, V) log-prob tensor; the beam loop hoists cum_b out of the decode loop
+    entirely and gathers xs with ops/pallas/row_gather (12 row DMAs instead
+    of a full-tensor read), then calls this.
+    """
+    t_max, k, s = xs.shape
 
     r_prev = jnp.transpose(state.r, (1, 2, 0))  # (T, 2, K)
     r_sum = jnp.logaddexp(r_prev[:, 0], r_prev[:, 1])  # (T, K)
@@ -170,7 +193,6 @@ def score_candidates(
     r_n = jnp.maximum(r_n, LOG_ZERO)
 
     # r_b[t] = cumB[t] + LSE_j<=t (r_n[j-1] - cumB[j-1]), j >= start
-    cum_b = jnp.cumsum(xb)  # (T,)
     cum_b_m1 = jnp.concatenate([jnp.zeros_like(cum_b[:1]), cum_b[:-1]])
     r_n_m1 = jnp.concatenate([jnp.full_like(r_n[:1], LOG_ZERO), r_n[:-1]], axis=0)
     vterm = jnp.where(
