@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scan_unroll", type=int, default=1,
                    help="encoder layer-stack unroll factor (24 = fully "
                         "unrolled; ~12%% faster steps, slower first compile)")
+    p.add_argument("--scan_remat", type=str, default="none",
+                   choices=["none", "dots", "full"],
+                   help="encoder-layer rematerialization in backward: trade "
+                        "recompute for HBM so larger per-chip batches fit")
     p.add_argument("--profile_dir", type=str, default="",
                    help="write a jax profiler trace of steps 10-12 here")
     p.add_argument("--use_flash_attention", type=str, default="auto",
@@ -104,6 +108,7 @@ def main():
     if model_cfg.encoder.use_flash_attention:
         print("Flash attention: on")
     model_cfg.encoder.scan_unroll = args.scan_unroll
+    model_cfg.encoder.scan_remat = args.scan_remat
 
     if args.synthetic_dataset:
         import jax

@@ -41,14 +41,20 @@ class AVHubertEncoderConfig:
     dropout_input: float = 0.1
     layerdrop: float = 0.0
     # Pallas flash-attention for encoder self-attention (forward + custom-VJP
-    # backward, so it serves both inference and training). The kernel never
-    # materializes the attention-prob matrix, so attention_dropout is not
-    # applied on this path; disable for reference-exact training dynamics.
+    # backward, so it serves both inference and training; attention-prob
+    # dropout runs inside the kernel from the layer's dropout PRNG, matching
+    # the reference's attention_dropout=0.1 recipe).
     use_flash_attention: bool = False
     # lax.scan unroll factor for the layer stack: 1 = pure scan (fastest
     # compile), num_hidden_layers = fully unrolled body (lets XLA schedule
     # across layers; measured faster at train time on TPU)
     scan_unroll: int = 1
+    # rematerialization of the scanned encoder layer in the backward pass:
+    # "none" saves every layer's intermediates (fastest per step, OOMs past
+    # per-chip batch ~8 at T=384 on 16 GB HBM), "dots" saves matmul outputs
+    # only, "full" recomputes the whole layer body (max batch headroom at
+    # +1/3 encoder FLOPs) — the jax.checkpoint memory/FLOPs trade.
+    scan_remat: str = "none"
 
     @property
     def fused_dim(self) -> int:

@@ -46,6 +46,12 @@ class Recognizer:
     # self-KV buffer cap (see BeamSearchConfig.max_decode_tokens);
     # None = reference-exact frame-count-sized buffer
     max_decode_tokens: int | None = None
+    # video transfer codec: "uint8" uploads raw crops; "delta" uploads
+    # temporal deltas (lossless, reconstructed on device — see data/wire.py).
+    # Smooth real video deltas compress several-fold in transit on links
+    # that compress, turning the dominant host->device transfer into a
+    # minor one. Exactness is unconditional, so "delta" is the default.
+    video_wire: str = "delta"
     # data-parallel decode: shard the batch dim of the encoder + beam
     # programs over the mesh's 'data' axis (weights replicated). Eval WER
     # sweeps then scale with chips — each chunk is one batch element
@@ -85,13 +91,18 @@ class Recognizer:
         if "fn" not in self._encode_cache:
             model = self.model
 
+            wire = self.video_wire
+
             @functools.partial(jax.jit, **self._shardings(3))
             def run(variables, audios, videos, lengths):
                 if videos.dtype == jnp.uint8:
                     # crops travel host->device as uint8 (4x less transfer
                     # over the interconnect); normalize on device
                     from avsr_tpu.data.transforms import VIDEO_MEAN, VIDEO_STD
+                    from avsr_tpu.data.wire import delta_decode_video
 
+                    if wire == "delta":
+                        videos = delta_decode_video(videos)
                     videos = (videos.astype(jnp.float32) / 255.0 - VIDEO_MEAN) / VIDEO_STD
                 feats = model.apply(
                     variables, audios, videos, lengths, method="encode"
@@ -177,6 +188,10 @@ class Recognizer:
         lens[: len(videos)] = lengths
         # padded rows decode 1 dummy frame to keep while_loops trivial
         lens[len(videos):] = 1
+        if vdtype == np.uint8 and self.video_wire == "delta":
+            from avsr_tpu.data.wire import delta_encode_video
+
+            vid = delta_encode_video(vid)
         return jnp.asarray(aud), jnp.asarray(vid), jnp.asarray(lens), len(videos)
 
     def transcribe_batch_async(

@@ -194,8 +194,22 @@ class AVHubertTransformer(nn.Module):
         )(x)
         x = x + pos
         x = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(x)
+        body = _ScanEncoderLayer
+        remat = getattr(c, "scan_remat", "none")
+        if remat != "none":
+            # trade backward-pass memory for recompute so large per-chip
+            # batches fit HBM: without remat the scan stacks every layer's
+            # saved intermediates (24 x O(B*T*D) buffers at flagship scale)
+            policy = (
+                None
+                if remat == "full"
+                else jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            )
+            body = nn.remat(
+                body, prevent_cse=False, policy=policy, static_argnums=(4,)
+            )
         layers = nn.scan(
-            _ScanEncoderLayer,
+            body,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),

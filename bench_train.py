@@ -31,6 +31,7 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--accum", type=int, default=1)
     ap.add_argument("--unroll", type=int, default=1)
+    ap.add_argument("--remat", default="none", choices=["none", "dots", "full"])
     ap.add_argument("--no-flash", action="store_true")
     ap.add_argument("--fp32", action="store_true")
     args = ap.parse_args()
@@ -49,6 +50,7 @@ def main() -> None:
     cfg = AVHubertAVSRConfig()
     cfg.encoder.use_flash_attention = not args.no_flash
     cfg.encoder.scan_unroll = args.unroll
+    cfg.encoder.scan_remat = args.remat
     tcfg = T.TrainConfig(
         compute_dtype="float32" if args.fp32 else "bfloat16", grad_accum=args.accum
     )
@@ -82,12 +84,27 @@ def main() -> None:
         device_batch = shard_batch(batch, mesh)
     key = jax.random.PRNGKey(1)
 
-    # compile + collect XLA's FLOP estimate for the whole fused step
+    # compile + collect XLA's FLOP estimate for the whole fused step.
+    # XLA cost analysis counts a lax.scan body ONCE regardless of trip count
+    # (measured: 4.27T at unroll=1 vs 8.38T fully unrolled for the same
+    # step), so add the remaining (L/unroll - 1) executions of the scanned
+    # encoder layer analytically: per-layer fwd MACs = B*T*12*D^2 (QKVO +
+    # 8D^2 FFN) + 2*B*T^2*D (scores + AV), x2 FLOPs/MAC, x3 for fwd+bwd.
     lowered = step_fn.lower(state, device_batch, key)
     compiled = lowered.compile()
     cost = compiled.cost_analysis()
     cost = cost[0] if isinstance(cost, (list, tuple)) else cost
     flops = float(cost.get("flops", 0.0)) if cost else 0.0
+    L = cfg.encoder.num_hidden_layers
+    u = min(max(args.unroll, 1), L)  # layers inside the counted scan body
+    if flops and u < L:
+        d = cfg.encoder.encoder_embed_dim
+        tokens = b * args.accum * t
+        # fwd FLOPs of one encoder layer: QKVO+FFN matmuls (12*D^2 MACs per
+        # token) + attention scores/AV (2*T*D MACs per token), 2 FLOPs/MAC
+        layer_fwd = tokens * (24.0 * d * d + 4.0 * t * d)
+        mult = 4.0 if args.remat == "full" else 3.0  # fwd+bwd(+refwd)
+        flops += (L - u) * layer_fwd * mult
 
     state, metrics = step_fn(state, device_batch, key)
     float(metrics["loss"])  # D2H fetch: a true sync barrier (through the
