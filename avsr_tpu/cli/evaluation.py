@@ -134,6 +134,7 @@ class InferenceEngine:
             model=AVSRModel(cfg), variables=variables, cfg=cfg,
             beam_size=self.beam_size,
             max_decode_tokens=self.max_decode_tokens,
+            video_wire=self.model_kwargs.get("video_wire", "delta"),
         )
         self._decode_tokens = lambda toks: self.text_transform.post_process(
             toks
@@ -155,6 +156,9 @@ class InferenceEngine:
             video_transform=VideoTransform("test"),
             audio_transform=RawAudioTransform("test"),
         )
+        self.model_kwargs.pop("video_wire", None)  # Recognizer-level knob;
+        # this family ships float32 frames (host-side normalization), so the
+        # uint8 wire codec does not apply
         model = ConformerAVSR(
             odim=self.model_kwargs.pop("odim", self.text_transform.vocab_size),
             **self.model_kwargs,
@@ -479,6 +483,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="self-KV buffer cap in tokens (0 = uncapped, "
                         "reference-exact frame-count-sized buffer)")
     parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--video_wire", type=str, default="delta",
+                        choices=["delta", "uint8"],
+                        help="crop upload codec: lossless temporal delta "
+                             "(data/wire.py) or raw uint8")
     parser.add_argument("--decode_mode", type=str, default="beam",
                         choices=["beam", "greedy"])
     parser.add_argument("--verbose", action="store_true")
@@ -503,6 +511,7 @@ def main():
         args.batch_size,
         args.decode_mode,
         max_decode_tokens=args.max_decode_tokens,
+        model_kwargs={"video_wire": args.video_wire},
     )
     engine.load_model()
 

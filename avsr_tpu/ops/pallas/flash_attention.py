@@ -192,8 +192,197 @@ def _resolve_interpret(interpret):
     return interpret
 
 
+# ---------------------------------------------------------------------------
+# Resident variant: for moderate T (<= RESIDENT_MAX_T) the full (T, T) score
+# matrix of one head fits VMEM, so streaming/online-softmax buys nothing —
+# and at AVSR shapes (T=384, Dh=64) the streaming grid (B*H, T/block) is
+# hundreds of near-empty programs whose launch overhead dominates (measured
+# 409 us/layer fwd at B=6 where DMA+compute justify ~30 us). Here each
+# program owns G whole heads: grid (N/G,), plain softmax in fp32 VMEM, and
+# ONE backward kernel that recomputes P and emits dQ, dK, dV together (no
+# separate dq/dkv passes, no XLA delta pass — delta = rowsum(dO*O) is done
+# in-kernel).
+# ---------------------------------------------------------------------------
+
+RESIDENT_MAX_T = 512
+
+
+def _resident_max_t() -> int:
+    # env override for A/B measurement (AVSR_FLASH_RESIDENT_MAX_T=0 forces
+    # the streaming kernels at any T)
+    import os
+
+    return int(os.environ.get("AVSR_FLASH_RESIDENT_MAX_T", RESIDENT_MAX_T))
+
+
+def _resident_fwd_kernel(bias_ref, *refs, scale: float, group: int):
+    # blocks: bias (G, 1, T), [mask (G, T, T)], q/k/v (G, T, D),
+    #         o (G, T, D), lse (G, 1, T)
+    if len(refs) == 6:
+        mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref = refs
+        mask_ref = None
+    for g in range(group):  # static unroll: straight-line MXU work
+        q = q_ref[g]  # (T, D)
+        k = k_ref[g]
+        v = v_ref[g]
+        bias = bias_ref[g, 0].astype(jnp.float32)  # (T,)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias[None, :]  # (T, T) fp32, resident
+        m = jnp.max(s, axis=1)
+        p = jnp.exp(s - m[:, None])
+        l = jnp.maximum(jnp.sum(p, axis=1), 1e-30)
+        pv = p if mask_ref is None else p * mask_ref[g]
+        o = jax.lax.dot_general(
+            (pv / l[:, None]).astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[g] = o.astype(o_ref.dtype)
+        lse_ref[g, 0] = m + jnp.log(l)
+
+
+def _resident_bwd_kernel(bias_ref, *refs, scale: float, group: int):
+    # blocks: bias (G, 1, T), [mask (G, T, T)], q/k/v/do/out (G, T, D),
+    #         lse (G, 1, T), dq/dk/dv (G, T, D)
+    if len(refs) == 10:
+        (mask_ref, q_ref, k_ref, v_ref, do_ref, out_ref, lse_ref,
+         dq_ref, dk_ref, dv_ref) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, out_ref, lse_ref,
+         dq_ref, dk_ref, dv_ref) = refs
+        mask_ref = None
+    f32 = jnp.float32
+    for g in range(group):
+        q = q_ref[g]
+        k = k_ref[g]
+        v = v_ref[g]
+        do = do_ref[g]
+        bias = bias_ref[g, 0].astype(f32)
+        lse = lse_ref[g, 0]  # (T,)
+        # delta_i = rowsum(dO_i * O_i) — in-kernel, no XLA pre-pass
+        delta = jnp.sum(do_ref[g].astype(f32) * out_ref[g].astype(f32), axis=1)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        ) * scale + bias[None, :]
+        p = jnp.exp(s - lse[:, None])  # normalized probs (T, T)
+        pm = p if mask_ref is None else p * mask_ref[g]
+        # dV = P~^T dO (dropped+rescaled probs)
+        dv = jax.lax.dot_general(
+            pm.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        if mask_ref is not None:
+            dp = dp * mask_ref[g]
+        ds = (p * (dp - delta[:, None])).astype(q.dtype)
+        dq = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        )
+        dq_ref[g] = (dq * scale).astype(dq_ref.dtype)
+        dk_ref[g] = (dk * scale).astype(dk_ref.dtype)
+        dv_ref[g] = dv.astype(dv_ref.dtype)
+
+
+def _pick_group(n: int, t: int, has_mask: bool, n_bufs: int) -> int:
+    """Largest divisor of n whose VMEM block footprint stays ~<= 8 MB."""
+    budget = 8 * 1024 * 1024
+    g = 8
+    while g > 1:
+        per_head = n_bufs * t * 128 * 2 + (t * t * 2 if has_mask else 0)
+        if n % g == 0 and g * per_head <= budget:
+            break
+        g -= 1
+    while n % g:
+        g -= 1
+    return g
+
+
+def _fwd_impl_resident(q, k, v, key_bias, mask, scale, interpret):
+    n, t, d = q.shape
+    g = _pick_group(n, t, mask is not None, 5)
+    seq = pl.BlockSpec((g, t, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    # bias ships (N, 1, T): Mosaic requires the last two block dims to be
+    # (8k, 128k) or the full array dims — (1, T) satisfies that; (G, T) won't
+    in_specs = [pl.BlockSpec((g, 1, t), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    args = [key_bias[:, None, :]]
+    if mask is not None:
+        in_specs.append(
+            pl.BlockSpec((g, t, t), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(mask)
+    in_specs += [seq, seq, seq]
+    args += [q, k, v]
+    return pl.pallas_call(
+        functools.partial(_resident_fwd_kernel, scale=scale, group=g),
+        grid=(n // g,),
+        in_specs=in_specs,
+        out_specs=[
+            seq,
+            pl.BlockSpec((g, 1, t), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, t, d), q.dtype),
+            jax.ShapeDtypeStruct((n, 1, t), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
+        interpret=_resolve_interpret(interpret),
+    )(*args)
+
+
+def _bwd_impl_resident(q, k, v, key_bias, mask, out, lse, g_, scale,
+                       interpret):
+    n, t, d = q.shape
+    g = _pick_group(n, t, mask is not None, 8)
+    seq = pl.BlockSpec((g, t, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec((g, 1, t), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    args = [key_bias[:, None, :]]
+    if mask is not None:
+        in_specs.append(
+            pl.BlockSpec((g, t, t), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(mask)
+    in_specs += [seq, seq, seq, seq, seq,
+                 pl.BlockSpec((g, 1, t), lambda b: (b, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    args += [q, k, v, g_, out, lse]
+    return pl.pallas_call(
+        functools.partial(_resident_bwd_kernel, scale=scale, group=g),
+        grid=(n // g,),
+        in_specs=in_specs,
+        out_specs=[seq, seq, seq],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, t, d), q.dtype),
+            jax.ShapeDtypeStruct((n, t, d), k.dtype),
+            jax.ShapeDtypeStruct((n, t, d), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
+        interpret=_resolve_interpret(interpret),
+    )(*args)
+
+
 def _fwd_impl(q, k, v, key_bias, mask, scale, block_q, block_k, interpret):
     n, t, d = q.shape
+    if t <= _resident_max_t():
+        return _fwd_impl_resident(q, k, v, key_bias, mask, scale, interpret)
     if t % block_q or t % block_k:
         raise ValueError(f"sequence length {t} must be a multiple of the block size")
     grid = (n, t // block_q)
@@ -237,6 +426,9 @@ def _fwd_impl(q, k, v, key_bias, mask, scale, block_q, block_k, interpret):
 def _bwd_impl(q, k, v, key_bias, mask, out, lse, g, scale, block_q, block_k,
               interpret):
     n, t, d = q.shape
+    if t <= _resident_max_t():
+        return _bwd_impl_resident(q, k, v, key_bias, mask, out, lse, g,
+                                  scale, interpret)
     interpret = _resolve_interpret(interpret)
     bias3 = key_bias[:, None, :]
     # delta_i = rowsum(dO_i * O_i), cheap elementwise reduce left to XLA.

@@ -130,6 +130,9 @@ def main() -> None:
                 "compute_dtype": tcfg.compute_dtype,
                 "flash_attention": cfg.encoder.use_flash_attention,
                 "step_tflops": round(flops / 1e12, 2),
+                "xla_counted_tflops": round(
+                    (float(cost.get("flops", 0.0)) if cost else 0.0) / 1e12, 2
+                ),
                 "mfu_vs_v5e_peak": round(mfu, 4),
                 "loss": round(float(metrics["loss"]), 3),
                 "grad_norm": round(float(metrics["grad_norm"]), 3),
