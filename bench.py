@@ -18,6 +18,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -26,8 +27,9 @@ REF_AUDIO_SEC_PER_S = 3.0  # estimated reference GPU decode throughput
 SEGMENT_SECONDS = 15.0
 FRAMES = 375  # 15 s * 25 fps
 # batch 16 amortizes the per-step beam-loop cost best (device trace:
-# 16 utterances / 1.30 ms/step vs 8 / 0.78 ms — ~20% more audio/s)
-BATCH = 16
+# 16 utterances / 1.30 ms/step vs 8 / 0.78 ms — ~20% more audio/s).
+# AVSR_BENCH_BATCH overrides for scaling checks.
+BATCH = int(os.environ.get("AVSR_BENCH_BATCH", "16"))
 # enough iterations to reach steady state: through the axon tunnel the first
 # post-warmup dispatches carry queue/tuning transients that a 3-iter run
 # misattributes to throughput (measured: 101 audio-s/s at 3 iters vs 160 at 8)

@@ -103,8 +103,10 @@ def main() -> None:
         # fwd FLOPs of one encoder layer: QKVO+FFN matmuls (12*D^2 MACs per
         # token) + attention scores/AV (2*T*D MACs per token), 2 FLOPs/MAC
         layer_fwd = tokens * (24.0 * d * d + 4.0 * t * d)
-        mult = 4.0 if args.remat == "full" else 3.0  # fwd+bwd(+refwd)
-        flops += (L - u) * layer_fwd * mult
+        # MODEL FLOPs (PaLM MFU convention): fwd + 2x bwd, NOT counting the
+        # remat re-forward — recompute is implementation overhead and must
+        # not inflate MFU
+        flops += (L - u) * layer_fwd * 3.0
 
     state, metrics = step_fn(state, device_batch, key)
     float(metrics["loss"])  # D2H fetch: a true sync barrier (through the
