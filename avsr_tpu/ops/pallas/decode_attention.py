@@ -46,17 +46,29 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1.0e30
 
 
-def _kernel(q_ref, bias_ref, kv_hbm, out_ref, kscr, vscr,
+_PREFIX_CHUNK = 64  # S-axis granularity of the prefix-bounded cache reads
+
+
+def _kernel(pos_ref, q_ref, bias_ref, kv_hbm, out_ref, kscr, vscr,
             rsem_k, rsem_v, *, group: int, lanes: int, heads: int, dh: int):
     """One group of `group` utterances: block-diagonal attention.
 
     Block shapes (U = group*lanes, R = U*S, W = group*heads*lanes):
+      pos_ref  (1,)          SMEM  current decode position (scalar)
       q_ref    (1, U, C)     VMEM  queries, pre-scaled by dh**-0.5
       bias_ref (1, R, K)     VMEM  ancestry+causal bias, lane-major rows
       kv_hbm   (N, S, 2C)    ANY   fused K|V cache (read-only): one buffer
                                    means one row-write per step upstream
       out_ref  (1, U, C)     VMEM  attention output
       kscr/vscr (U, S, C)    VMEM  the group's K / V rows
+
+    Cache reads are PREFIX-BOUNDED: only the _PREFIX_CHUNK-aligned prefix
+    covering rows [0, pos] is DMA'd (the dominant per-step HBM traffic —
+    averaged over a full 375-step decode only ~75% of the buffer is ever
+    valid). Skipped chunks are zero-filled: uninitialized VMEM scratch can
+    hold non-finite bf16 patterns which would poison the score matmul
+    (exp(-inf + NaN) = NaN), while zero rows are exactly annihilated by the
+    NEG_INF bias. VPU zero-fill is ~10x cheaper than the HBM DMA it avoids.
     """
     s_max = kv_hbm.shape[1]
     c_dim = heads * dh
@@ -65,15 +77,36 @@ def _kernel(q_ref, bias_ref, kv_hbm, out_ref, kscr, vscr,
     w = group * hk
     r = u * s_max
     n0 = pl.program_id(0) * u
+    s_valid = pos_ref[0] + 1  # rows [0, pos] hold written K/V
 
-    rk = pltpu.make_async_copy(
-        kv_hbm.at[pl.ds(n0, u), :, pl.ds(0, c_dim)], kscr, rsem_k
-    )
-    rv = pltpu.make_async_copy(
-        kv_hbm.at[pl.ds(n0, u), :, pl.ds(c_dim, c_dim)], vscr, rsem_v
-    )
-    rk.start()
-    rv.start()
+    # buffers are rounded to 64 upstream (Recognizer/BeamSearch); tiny test
+    # caps fall back to one unconditional full copy
+    chunk = _PREFIX_CHUNK if s_max % _PREFIX_CHUNK == 0 else s_max
+    copies = []
+    for j in range(s_max // chunk):
+        s0 = j * chunk
+        rk = pltpu.make_async_copy(
+            kv_hbm.at[pl.ds(n0, u), pl.ds(s0, chunk), pl.ds(0, c_dim)],
+            kscr.at[:, pl.ds(s0, chunk), :], rsem_k,
+        )
+        rv = pltpu.make_async_copy(
+            kv_hbm.at[pl.ds(n0, u), pl.ds(s0, chunk), pl.ds(c_dim, c_dim)],
+            vscr.at[:, pl.ds(s0, chunk), :], rsem_v,
+        )
+        needed = s0 < s_valid
+
+        @pl.when(needed)
+        def _start(rk=rk, rv=rv):
+            rk.start()
+            rv.start()
+
+        @pl.when(jnp.logical_not(needed))
+        def _zero(s0=s0):
+            zeros = jnp.zeros((u, chunk, c_dim), kscr.dtype)
+            kscr[:, pl.ds(s0, chunk), :] = zeros
+            vscr[:, pl.ds(s0, chunk), :] = zeros
+
+        copies.append((needed, rk, rv))
 
     f32 = jnp.float32
     iota = lambda s, d: jax.lax.broadcasted_iota(jnp.int32, s, d)  # noqa: E731
@@ -108,7 +141,11 @@ def _kernel(q_ref, bias_ref, kv_hbm, out_ref, kscr, vscr,
         bias, rep_col, (((1,), (0,)), ((), ())), preferred_element_type=f32
     ) + crossmask  # (R, W)
 
-    rk.wait()
+    for needed, rk, _rv in copies:
+        @pl.when(needed)
+        def _wait(rk=rk):
+            rk.wait()
+
     kv_dtype = kscr.dtype
     k_rows = kscr[...].reshape(r, c_dim)
     scores = jax.lax.dot_general(
@@ -121,7 +158,11 @@ def _kernel(q_ref, bias_ref, kv_hbm, out_ref, kscr, vscr,
     denom = jnp.maximum(p.sum(axis=0, keepdims=True), 1e-30)  # (1, W)
     p = p / denom  # normalize pre-matmul: avoids a (1,W)->(W,1) relayout
 
-    rv.wait()
+    for needed, _rk, rv in copies:
+        @pl.when(needed)
+        def _wait(rv=rv):
+            rv.wait()
+
     v_rows = vscr[...].reshape(r, c_dim)
     o_bd = jax.lax.dot_general(
         p.astype(kv_dtype), v_rows, (((0,), (0,)), ((), ())),
@@ -152,7 +193,7 @@ def decode_attention(
     contribute exp(-1e30-m) = 0, so reads past the logical position are
     harmless. `group` utterances share one grid program (clamped to a
     divisor of the batch)."""
-    del pos, chunk
+    del chunk
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, s_max, c2 = kv_cache.shape
@@ -169,6 +210,7 @@ def decode_attention(
     )
 
     u = group * lanes
+    pos_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     row = pl.BlockSpec((1, u, c), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     bias = pl.BlockSpec((1, u * s_max, lanes), lambda i: (i, 0, 0),
@@ -178,7 +220,7 @@ def decode_attention(
         functools.partial(_kernel, group=group, lanes=lanes, heads=heads,
                           dh=dh),
         grid=(b // group,),
-        in_specs=[row, bias, cache],
+        in_specs=[pos_spec, row, bias, cache],
         out_specs=row,
         out_shape=jax.ShapeDtypeStruct((b // group, u, c), q.dtype),
         scratch_shapes=[
@@ -195,4 +237,7 @@ def decode_attention(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
-    )(q.reshape(b // group, u, c), bias2, kv_cache).reshape(n, c)
+    )(
+        jnp.asarray(pos, jnp.int32).reshape(1),
+        q.reshape(b // group, u, c), bias2, kv_cache,
+    ).reshape(n, c)
