@@ -34,7 +34,9 @@ import jax
 import jax.numpy as jnp
 
 from avsr_tpu.decode import ctc_prefix
+from avsr_tpu.ops.pallas.beam_update import beam_update
 from avsr_tpu.ops.pallas.row_gather import row_gather
+from avsr_tpu.ops.pallas.topk import topk_lastdim
 
 NEG = -1.0e30
 D_END = -10.0  # log(1 * exp(-10)), e2e_asr_common.py:18
@@ -93,6 +95,11 @@ class BeamSearchConfig:
     # any reachable output. None = frame-count-sized buffer, byte-for-byte the
     # reference semantics (batch_beam_search.py runs at most xlen steps).
     max_decode_tokens: Optional[int] = None
+    # run the whole post-scoring bookkeeping step (flat top-k, successor
+    # gathers, retirement, best tracking, end detection) as ONE Pallas
+    # program (ops/pallas/beam_update.py) instead of ~100 launch-bound XLA
+    # ops. Bit-identical selection semantics; False = plain XLA path.
+    fused_bookkeeping: bool = True
 
     @property
     def pre_beam_size(self) -> int:
@@ -238,14 +245,9 @@ def beam_search_batched(
         # a full (B,K,V) sort on TPU (~10x the cost for S' ~ 4); like sort,
         # argmax breaks ties toward the lower index, so selection matches the
         # reference torch.topk ordering.
-        dec_top, part_ids = _exact_topk(dec_logp, cfg.pre_beam_size)  # (B,K,S')
-        cand_tokens = jnp.concatenate(
-            [part_ids, jnp.full((b, k, 1), cfg.eos, part_ids.dtype)], axis=-1
-        )
-        cand_dec = jnp.concatenate(
-            [dec_top, dec_logp[..., cfg.eos][..., None]], axis=-1
-        )
-        weighted = w_dec * cand_dec  # (B, K, S'+1)
+        # one Pallas program for all S' rounds: the XLA iterated-argmax costs
+        # ~10 ops/step, each a full HBM round-trip of the ~1 MB logits buffer
+        dec_top, part_ids = topk_lastdim(dec_logp, cfg.pre_beam_size)  # (B,K,S')
         if use_ctc:
             # candidate columns via DMA row-gather from the hoisted
             # transposed table (see ops/pallas/row_gather)
@@ -261,9 +263,74 @@ def beam_search_batched(
                 ctc_prefix.score_candidates_cols,
                 in_axes=(0, 0, 0, 0, 0, None, None),
             )(xs, cum_b_all, xlens, st.ctc, part_ids, cfg.eos, cfg.blank)
+            # blank is never selectable (psi LOG_ZERO already enforces this)
+
+        def reorder_cache(cache, prev):
+            # physical KV-cache reshuffle for the non-lazy path; finished
+            # lanes overwrite garbage that is never read again
+            flat_prev = (jnp.arange(b)[:, None] * k + prev).reshape(-1)
+            if hasattr(cache, "self_kv"):
+                # per-layer tuple of seq-major (maxlen, B*K, 2, H, Dh) buffers
+                return cache._replace(
+                    self_kv=tuple(a[:, flat_prev] for a in cache.self_kv)
+                )
+            # S2TDecoderCache keeps separate K/V
+            return cache._replace(
+                self_k=cache.self_k[:, flat_prev],
+                self_v=cache.self_v[:, flat_prev],
+            )
+
+        if cfg.fused_bookkeeping:
+            # 3-6 fused: ONE Pallas program for candidate weighting, the flat
+            # top-k, successor gathers, retirement, best tracking and end
+            # detection (ops/pallas/beam_update.py) — the XLA path below is
+            # ~100 launch-bound scalar-shaped ops per step
+            upd = beam_update(
+                i, xlens, dec_top, dec_logp[..., cfg.eos],
+                psi_cand if use_ctc else None,
+                psi_eos if use_ctc else None,
+                st.ctc.s if use_ctc else None,
+                part_ids, st.score, st.alive, st.stop, st.yseq, anc,
+                st.ended_best, st.ended_cnt, st.best_score, st.best_yseq,
+                st.best_len,
+                w_dec=w_dec, w_ctc=w_ctc, penalty=cfg.penalty, eos=cfg.eos,
+                lazy=cfg.lazy_reorder, neg=NEG, d_end=D_END, m_end=M_END,
+            )
+            prev, slot, token = upd["prev"], upd["slot"], upd["token"]
+            if not cfg.lazy_reorder:
+                cache = reorder_cache(cache, prev)
+            if use_ctc:
+                ctc_state = jax.vmap(ctc_prefix.select_candidates)(
+                    st.ctc, upd["psi_sel"], r_cands, prev, slot, token
+                )
+            else:
+                ctc_state = st.ctc._replace(out_len=st.ctc.out_len + 1)
+            return BeamState(
+                i=i + 1,
+                yseq=upd["yseq"],
+                score=upd["score"],
+                alive=upd["alive"],
+                dec_cache=cache,
+                ctc=ctc_state,
+                ended_best=upd["ended_best"],
+                ended_cnt=upd["ended_cnt"],
+                best_score=upd["best_score"],
+                best_yseq=upd["best_yseq"],
+                best_len=upd["best_len"],
+                stop=upd["stop"],
+                anc=upd["anc"] if cfg.lazy_reorder else anc,
+            )
+
+        cand_tokens = jnp.concatenate(
+            [part_ids, jnp.full((b, k, 1), cfg.eos, part_ids.dtype)], axis=-1
+        )
+        cand_dec = jnp.concatenate(
+            [dec_top, dec_logp[..., cfg.eos][..., None]], axis=-1
+        )
+        weighted = w_dec * cand_dec  # (B, K, S'+1)
+        if use_ctc:
             psi_all = jnp.concatenate([psi_cand, psi_eos[..., None]], axis=-1)
             weighted = weighted + w_ctc * (psi_all - st.ctc.s[..., None])
-            # blank is never selectable (psi LOG_ZERO already enforces this)
         # dedup: if eos appeared in part_ids, mask the explicit eos slot
         eos_dup = (part_ids == cfg.eos).any(axis=-1)  # (B, K)
         weighted = weighted.at[..., -1].set(
@@ -275,7 +342,7 @@ def beam_search_batched(
         weighted = jnp.where(st.alive[..., None], weighted, NEG)
 
         # 3. per-utterance flat top-k over (K, S'+1) candidates
-        top_scores, top_idx = _exact_topk(weighted.reshape(b, k * n_cand), k)
+        top_scores, top_idx = topk_lastdim(weighted.reshape(b, k * n_cand), k)
         prev = top_idx // n_cand  # (B, K)
         slot = top_idx % n_cand
         token = jnp.take_along_axis(
@@ -298,17 +365,8 @@ def beam_search_batched(
                 jnp.einsum("sbj,bkj->sbk", anc.astype(jnp.float32), oh_prev)
                 .astype(jnp.int32)
             )
-        elif hasattr(cache, "self_kv"):
-            # per-layer tuple of seq-major (maxlen, B*K, 2, H, Dh) buffers
-            flat_prev = (jnp.arange(b)[:, None] * k + prev).reshape(-1)
-            cache = cache._replace(
-                self_kv=tuple(a[:, flat_prev] for a in cache.self_kv)
-            )
-        else:  # S2TDecoderCache keeps separate K/V
-            flat_prev = (jnp.arange(b)[:, None] * k + prev).reshape(-1)
-            cache = cache._replace(
-                self_k=cache.self_k[:, flat_prev], self_v=cache.self_v[:, flat_prev]
-            )
+        else:
+            cache = reorder_cache(cache, prev)
         if use_ctc:
             psi_sel = jnp.take_along_axis(
                 psi_all.reshape(b, k * n_cand), top_idx, axis=1

@@ -571,3 +571,46 @@ def test_fused_decode_layer_batched_mixed_lengths(setup):
         got = np.asarray(yseqs[i])[: int(lengths[i])]
         np.testing.assert_array_equal(got, y_ref, err_msg=f"utt {i}")
         np.testing.assert_allclose(float(scores[i]), s_ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("ctc_w,penalty", [(0.1, 0.0), (0.1, 0.5), (0.0, 0.0)])
+def test_fused_bookkeeping_matches_xla_path(setup, ctc_w, penalty):
+    """The single-Pallas-program bookkeeping step (ops/pallas/beam_update.py)
+    must be bit-identical to the plain XLA op chain it replaces — batched,
+    mixed lengths, across CTC weight and length-penalty variants."""
+    from avsr_tpu.decode.beam import beam_search_batched
+
+    tmodel, jmodel, variables, jcfg = setup
+    rng = np.random.RandomState(31)
+    lens = [12, 7, 16]
+    t_max = max(lens)
+    xs = [(rng.randn(t, 32) * 2.0).astype(np.float32) for t in lens]
+    feats = jnp.asarray(
+        np.stack([np.pad(x, ((0, t_max - x.shape[0]), (0, 0))) for x in xs])
+    )
+    ctc_logp = jmodel.apply(variables, feats, method="ctc_log_probs")
+
+    def dec_step(y, pos, cache, mem_mask, lane_bias=None):
+        return jmodel.apply(
+            variables, y, pos, cache, mem_mask, lane_bias, method="decoder_step"
+        )
+
+    def dec_init(memory, maxlen, beam=1):
+        return jmodel.apply(variables, memory, maxlen, beam, method="decoder_init")
+
+    results = []
+    for fused in (True, False):
+        bcfg = BeamSearchConfig(
+            beam_size=3, ctc_weight=ctc_w, sos=jcfg.sos, eos=jcfg.eos,
+            vocab=jcfg.odim, penalty=penalty, shared_src_kv=True,
+            lazy_reorder=True, fused_bookkeeping=fused,
+        )
+        results.append(
+            beam_search_batched(
+                bcfg, dec_step, dec_init, feats, ctc_logp, jnp.asarray(lens)
+            )
+        )
+    (y1, l1, s1), (y2, l2, s2) = results
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))  # bit-exact
