@@ -33,42 +33,9 @@ _BIG_I32 = 2**31 - 1
 
 
 def _kernel(
-    # scalars (SMEM)
-    i_ref,
-    # inputs (VMEM)
-    xlens_ref,       # (B, 1) i32
-    dec_top_ref,     # (B, K, S') f32   pre-beam decoder log-probs
-    dec_eos_ref,     # (B, K) f32       decoder log-prob of eos
-    psi_cand_ref,    # (B, K, S') f32   CTC prefix scores (zeros if no CTC)
-    psi_eos_ref,     # (B, K) f32
-    ctc_s_ref,       # (B, K) f32       previous-step CTC prefix score
-    part_ids_ref,    # (B, K, S') i32   pre-beam token ids
-    score_ref,       # (B, K) f32
-    alive_ref,       # (B, K) i32
-    stop_ref,        # (B, 1) i32
-    yseq_ref,        # (B, K, L) i32
-    anc_ref,         # (S, B, K) i32    ((1,1,1) dummy when not lazy)
-    ended_best_ref,  # (B, L) f32
-    ended_cnt_ref,   # (B, L) i32
-    best_score_ref,  # (B, 1) f32
-    best_yseq_ref,   # (B, L) i32
-    best_len_ref,    # (B, 1) i32
-    # outputs (VMEM)
-    token_o,         # (B, K) i32
-    prev_o,          # (B, K) i32
-    slot_o,          # (B, K) i32
-    psi_sel_o,       # (B, K) f32
-    score_o,         # (B, K) f32
-    alive_o,         # (B, K) i32
-    yseq_o,          # (B, K, L) i32
-    anc_o,           # (S, B, K) i32
-    ended_best_o,    # (B, L) f32
-    ended_cnt_o,     # (B, L) i32
-    best_score_o,    # (B, 1) f32
-    best_yseq_o,     # (B, L) i32
-    best_len_o,      # (B, 1) i32
-    stop_o,          # (B, 1) i32
-    *,
+    i_ref,  # (1,) i32 SMEM: current decode step
+    *refs,  # VMEM inputs then outputs, in the order built by beam_update();
+            # the CTC operands exist only when use_ctc, ancestry only when lazy
     k: int,
     w_dec: float,
     w_ctc: float,
@@ -80,6 +47,43 @@ def _kernel(
     d_end: float,
     m_end: int,
 ):
+    it = iter(refs)
+    xlens_ref = next(it)       # (B, 1) i32
+    dec_top_ref = next(it)     # (B, K, S') f32  pre-beam decoder log-probs
+    dec_eos_ref = next(it)     # (B, K) f32      decoder log-prob of eos
+    if use_ctc:
+        psi_cand_ref = next(it)  # (B, K, S') f32  CTC prefix scores
+        psi_eos_ref = next(it)   # (B, K) f32
+        ctc_s_ref = next(it)     # (B, K) f32      previous prefix score
+    part_ids_ref = next(it)    # (B, K, S') i32  pre-beam token ids
+    score_ref = next(it)       # (B, K) f32
+    alive_ref = next(it)       # (B, K) i32
+    stop_ref = next(it)        # (B, 1) i32
+    yseq_ref = next(it)        # (B, K, L) i32
+    if lazy:
+        anc_ref = next(it)     # (S, B, K) i32
+    ended_best_ref = next(it)  # (B, L) f32
+    ended_cnt_ref = next(it)   # (B, L) i32
+    best_score_ref = next(it)  # (B, 1) f32
+    best_yseq_ref = next(it)   # (B, L) i32
+    best_len_ref = next(it)    # (B, 1) i32
+    # outputs
+    token_o = next(it)         # (B, K) i32
+    prev_o = next(it)          # (B, K) i32
+    slot_o = next(it)          # (B, K) i32
+    psi_sel_o = next(it)       # (B, K) f32
+    score_o = next(it)         # (B, K) f32
+    alive_o = next(it)         # (B, K) i32
+    yseq_o = next(it)          # (B, K, L) i32
+    if lazy:
+        anc_o = next(it)       # (S, B, K) i32
+    ended_best_o = next(it)    # (B, L) f32
+    ended_cnt_o = next(it)     # (B, L) i32
+    best_score_o = next(it)    # (B, 1) f32
+    best_yseq_o = next(it)     # (B, L) i32
+    best_len_o = next(it)      # (B, 1) i32
+    stop_o = next(it)          # (B, 1) i32
+
     i = i_ref[0]
     b, _, sp = part_ids_ref.shape
     c = sp + 1  # candidates per lane: pre-beam tokens + explicit eos slot
@@ -172,8 +176,6 @@ def _kernel(
         for j in range(k - 2, -1, -1):
             a_new = jnp.where(prev[None] == j, anc_in[:, :, j, None], a_new)
         anc_o[...] = a_new
-    else:
-        anc_o[...] = anc_ref[...]
 
     # --- retirement + per-step ended statistics ---
     ended = jnp.logical_and(
@@ -269,20 +271,20 @@ def beam_update(
     b, k, sp = part_ids.shape
     ll = yseq.shape[2]
     use_ctc = psi_cand is not None
-    if not use_ctc:
-        psi_cand = jnp.zeros((b, k, sp), jnp.float32)
-        psi_eos = jnp.zeros((b, k), jnp.float32)
-        ctc_s = jnp.zeros((b, k), jnp.float32)
 
-    full = lambda shape: pl.BlockSpec(memory_space=pltpu.VMEM)  # whole array
-    ins = [
-        xlens.reshape(b, 1).astype(jnp.int32),
-        dec_top, dec_eos, psi_cand, psi_eos, ctc_s,
+    ins = [xlens.reshape(b, 1).astype(jnp.int32), dec_top, dec_eos]
+    if use_ctc:
+        ins += [psi_cand, psi_eos, ctc_s]
+    ins += [
         part_ids.astype(jnp.int32),
         score,
         alive.astype(jnp.int32),
         stop.reshape(b, 1).astype(jnp.int32),
-        yseq, anc,
+        yseq,
+    ]
+    if lazy:
+        ins.append(anc)
+    ins += [
         ended_best, ended_cnt,
         best_score.reshape(b, 1), best_yseq,
         best_len.reshape(b, 1).astype(jnp.int32),
@@ -295,7 +297,9 @@ def beam_update(
         jax.ShapeDtypeStruct((b, k), jnp.float32),  # score
         jax.ShapeDtypeStruct((b, k), jnp.int32),    # alive
         jax.ShapeDtypeStruct((b, k, ll), jnp.int32),  # yseq
-        jax.ShapeDtypeStruct(anc.shape, jnp.int32),   # anc
+    ] + (
+        [jax.ShapeDtypeStruct(anc.shape, jnp.int32)] if lazy else []
+    ) + [
         jax.ShapeDtypeStruct((b, ll), jnp.float32),   # ended_best
         jax.ShapeDtypeStruct((b, ll), jnp.int32),     # ended_cnt
         jax.ShapeDtypeStruct((b, 1), jnp.float32),    # best_score
@@ -303,6 +307,7 @@ def beam_update(
         jax.ShapeDtypeStruct((b, 1), jnp.int32),      # best_len
         jax.ShapeDtypeStruct((b, 1), jnp.int32),      # stop
     ]
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)  # whole array resident
     outs = pl.pallas_call(
         functools.partial(
             _kernel, k=k, w_dec=w_dec, w_ctc=w_ctc, penalty=penalty,
@@ -310,21 +315,23 @@ def beam_update(
             m_end=m_end,
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [full(x.shape) for x in ins],
-        out_specs=[full(s.shape) for s in out_shapes],
+        + [full for _ in ins],
+        out_specs=[full for _ in out_shapes],
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
     )(jnp.asarray(i, jnp.int32).reshape(1), *ins)
-    (token, prev, slot, psi_sel, score_n, alive_n, yseq_n, anc_n,
-     ended_best_n, ended_cnt_n, best_score_n, best_yseq_n, best_len_n,
-     stop_n) = outs
-    return dict(
-        token=token, prev=prev, slot=slot, psi_sel=psi_sel,
-        score=score_n, alive=alive_n != 0, yseq=yseq_n, anc=anc_n,
-        ended_best=ended_best_n, ended_cnt=ended_cnt_n,
-        best_score=best_score_n[:, 0], best_yseq=best_yseq_n,
-        best_len=best_len_n[:, 0], stop=stop_n[:, 0] != 0,
+    it = iter(outs)
+    out = dict(
+        token=next(it), prev=next(it), slot=next(it), psi_sel=next(it),
+        score=next(it), alive=next(it) != 0, yseq=next(it),
     )
+    out["anc"] = next(it) if lazy else anc
+    out.update(
+        ended_best=next(it), ended_cnt=next(it),
+        best_score=next(it)[:, 0], best_yseq=next(it),
+        best_len=next(it)[:, 0], stop=next(it)[:, 0] != 0,
+    )
+    return out
