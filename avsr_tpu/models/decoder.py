@@ -17,6 +17,7 @@ identical to the reference's incremental forward.
 from __future__ import annotations
 
 import math
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -225,14 +226,23 @@ class DecoderLayer(nn.Module):
             )
             qkv = h.reshape(n, self.dim) @ w_qkv + b_qkv  # (N, 3C)
             q = qkv[:, : self.dim] * d_k ** -0.5
-            self_kv = jax.lax.dynamic_update_slice(
-                self_kv, qkv[:, None, self.dim:].astype(self_kv.dtype),
-                (0, pos, 0),
-            )
-            out = decode_attention(
-                pos, q, self_kv, lane_bias,
-                lanes=lane_bias.shape[1], heads=self.heads,
-            )
+            if os.environ.get("AVSR_DECODE_FUSED_KV_WRITE", "1") != "0":
+                # the kernel stores this step's K|V row itself (aliased
+                # in-place cache output) — one fewer XLA launch per layer
+                out, self_kv = decode_attention(
+                    pos, q, self_kv, lane_bias,
+                    lanes=lane_bias.shape[1], heads=self.heads,
+                    kv_row=qkv[:, self.dim:],
+                )
+            else:
+                self_kv = jax.lax.dynamic_update_slice(
+                    self_kv, qkv[:, None, self.dim:].astype(self_kv.dtype),
+                    (0, pos, 0),
+                )
+                out = decode_attention(
+                    pos, q, self_kv, lane_bias,
+                    lanes=lane_bias.shape[1], heads=self.heads,
+                )
             h = self.self_attn.linear_out(out[:, None, :].astype(h.dtype))
         else:
             k_t, v_t = self.self_attn.project_kv(h, h)  # (B,1,H,Dh)

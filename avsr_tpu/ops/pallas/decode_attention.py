@@ -49,17 +49,21 @@ NEG_INF = -1.0e30
 _PREFIX_CHUNK = 64  # S-axis granularity of the prefix-bounded cache reads
 
 
-def _kernel(pos_ref, q_ref, bias_ref, kv_hbm, out_ref, kscr, vscr,
-            rsem_k, rsem_v, *, group: int, lanes: int, heads: int, dh: int):
+def _kernel(pos_ref, *refs, group: int, lanes: int, heads: int, dh: int,
+            write_row: bool):
     """One group of `group` utterances: block-diagonal attention.
 
     Block shapes (U = group*lanes, R = U*S, W = group*heads*lanes):
       pos_ref  (1,)          SMEM  current decode position (scalar)
       q_ref    (1, U, C)     VMEM  queries, pre-scaled by dh**-0.5
       bias_ref (1, R, K)     VMEM  ancestry+causal bias, lane-major rows
-      kv_hbm   (N, S, 2C)    ANY   fused K|V cache (read-only): one buffer
-                                   means one row-write per step upstream
+      new_ref  (1, U, 1, 2C) VMEM  this step's K|V row (write_row only)
+      kv_hbm   (N, S, 2C)    ANY   fused K|V cache; when write_row the
+                                   kernel itself stores row `pos` (aliased
+                                   output), replacing the upstream XLA
+                                   dynamic-update-slice launch per layer
       out_ref  (1, U, C)     VMEM  attention output
+      kv_out   (N, S, 2C)    ANY   aliased cache output (write_row only)
       kscr/vscr (U, S, C)    VMEM  the group's K / V rows
 
     Cache reads are PREFIX-BOUNDED: only the _PREFIX_CHUNK-aligned prefix
@@ -69,7 +73,25 @@ def _kernel(pos_ref, q_ref, bias_ref, kv_hbm, out_ref, kscr, vscr,
     hold non-finite bf16 patterns which would poison the score matmul
     (exp(-inf + NaN) = NaN), while zero rows are exactly annihilated by the
     NEG_INF bias. VPU zero-fill is ~10x cheaper than the HBM DMA it avoids.
+
+    write_row mode: the prefix read of the chunk containing `pos` may race
+    the row-write DMA over the same HBM bytes, but the VMEM copy of row
+    `pos` is unconditionally patched from new_ref after the read completes,
+    so the scores never see stale or torn data.
     """
+    it = iter(refs)
+    q_ref = next(it)
+    bias_ref = next(it)
+    new_ref = next(it) if write_row else None
+    kv_hbm = next(it)
+    out_ref = next(it)
+    kv_out = next(it) if write_row else None
+    kscr = next(it)
+    vscr = next(it)
+    rsem_k = next(it)
+    rsem_v = next(it)
+    wsem = next(it) if write_row else None
+
     s_max = kv_hbm.shape[1]
     c_dim = heads * dh
     hk = heads * lanes
@@ -78,6 +100,16 @@ def _kernel(pos_ref, q_ref, bias_ref, kv_hbm, out_ref, kscr, vscr,
     r = u * s_max
     n0 = pl.program_id(0) * u
     s_valid = pos_ref[0] + 1  # rows [0, pos] hold written K/V
+
+    if write_row:
+        # write-through of this step's K|V row to the aliased HBM cache;
+        # started first so it overlaps the score/bias precompute below
+        wcopy = pltpu.make_async_copy(
+            new_ref.at[0],
+            kv_out.at[pl.ds(n0, u), pl.ds(pos_ref[0], 1), :],
+            wsem,
+        )
+        wcopy.start()
 
     # buffers are rounded to 64 upstream (Recognizer/BeamSearch); tiny test
     # caps fall back to one unconditional full copy
@@ -146,6 +178,11 @@ def _kernel(pos_ref, q_ref, bias_ref, kv_hbm, out_ref, kscr, vscr,
         def _wait(rk=rk):
             rk.wait()
 
+    if write_row:
+        # patch row `pos` in VMEM from the input (the HBM prefix read holds
+        # the pre-write bytes for that row)
+        kscr[:, pl.ds(pos_ref[0], 1), :] = new_ref[0][:, :, :c_dim]
+
     kv_dtype = kscr.dtype
     k_rows = kscr[...].reshape(r, c_dim)
     scores = jax.lax.dot_general(
@@ -163,6 +200,9 @@ def _kernel(pos_ref, q_ref, bias_ref, kv_hbm, out_ref, kscr, vscr,
         def _wait(rv=rv):
             rv.wait()
 
+    if write_row:
+        vscr[:, pl.ds(pos_ref[0], 1), :] = new_ref[0][:, :, c_dim:]
+
     v_rows = vscr[...].reshape(r, c_dim)
     o_bd = jax.lax.dot_general(
         p.astype(kv_dtype), v_rows, (((0,), (0,)), ((), ())),
@@ -174,25 +214,33 @@ def _kernel(pos_ref, q_ref, bias_ref, kv_hbm, out_ref, kscr, vscr,
         preferred_element_type=f32,
     )  # (U, C)
     out_ref[0] = out.astype(out_ref.dtype)
+    if write_row:
+        wcopy.wait()
 
 
 def decode_attention(
     pos: jax.Array,  # scalar int32 position (masking is carried by the bias)
     q: jax.Array,  # (N, H*Dh) queries, pre-scaled
-    kv_cache: jax.Array,  # (N, S, 2*H*Dh) fused K|V, row `pos` written
+    kv_cache: jax.Array,  # (N, S, 2*H*Dh) fused K|V
     lane_bias: jax.Array,  # (B, K, S, J): 0 on ancestor lanes with s <= pos
     lanes: int,
     heads: int,
     group: int = 2,
     chunk: int | None = None,  # unused (v1 compat)
+    kv_row: jax.Array | None = None,  # (N, 2*H*Dh) this step's K|V row
     interpret: bool | None = None,
-) -> jax.Array:
-    """Attention output (N, H*Dh). Read-only over the cache; always called
-    inside an enclosing jit (the beam-search program). Rows with bias
-    NEG_INF (s > pos, non-ancestor lanes, or other group members)
-    contribute exp(-1e30-m) = 0, so reads past the logical position are
-    harmless. `group` utterances share one grid program (clamped to a
-    divisor of the batch)."""
+):
+    """Attention output (N, H*Dh). Always called inside an enclosing jit
+    (the beam-search program). Rows with bias NEG_INF (s > pos,
+    non-ancestor lanes, or other group members) contribute exp(-1e30-m)=0,
+    so reads past the logical position are harmless. `group` utterances
+    share one grid program (clamped to a divisor of the batch).
+
+    With kv_row=None the cache is read-only and row `pos` must already be
+    written (one XLA dynamic-update-slice per layer upstream). With kv_row
+    given, the kernel itself stores the row (aliased in-place cache output,
+    bit-identical bytes) and returns (out, updated_cache) — one fewer
+    launch-bound XLA op per layer per decode step."""
     del chunk
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -203,6 +251,7 @@ def decode_attention(
     group = min(group, b)
     while b % group:
         group -= 1
+    write_row = kv_row is not None
 
     # (B, K, S, J) -> lane-major rows (B, J*S, K) -> group rows
     bias2 = jnp.transpose(lane_bias, (0, 3, 2, 1)).reshape(
@@ -216,19 +265,47 @@ def decode_attention(
     bias = pl.BlockSpec((1, u * s_max, lanes), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     cache = pl.BlockSpec(memory_space=pl.ANY)
-    return pl.pallas_call(
+    in_specs = [pos_spec, row, bias]
+    operands = [
+        jnp.asarray(pos, jnp.int32).reshape(1),
+        q.reshape(b // group, u, c),
+        bias2,
+    ]
+    if write_row:
+        in_specs.append(
+            pl.BlockSpec((1, u, 1, c2), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(
+            kv_row.astype(kv_cache.dtype).reshape(b // group, u, 1, c2)
+        )
+    in_specs.append(cache)
+    operands.append(kv_cache)
+    out_shape = [jax.ShapeDtypeStruct((b // group, u, c), q.dtype)]
+    out_specs = [row]
+    if write_row:
+        out_shape.append(
+            jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype)
+        )
+        out_specs.append(cache)
+    scratch = [
+        pltpu.VMEM((u, s_max, c), kv_cache.dtype),
+        pltpu.VMEM((u, s_max, c), kv_cache.dtype),
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+    ]
+    if write_row:
+        scratch.append(pltpu.SemaphoreType.DMA)
+    res = pl.pallas_call(
         functools.partial(_kernel, group=group, lanes=lanes, heads=heads,
-                          dh=dh),
+                          dh=dh, write_row=write_row),
         grid=(b // group,),
-        in_specs=[pos_spec, row, bias, cache],
-        out_specs=row,
-        out_shape=jax.ShapeDtypeStruct((b // group, u, c), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((u, s_max, c), kv_cache.dtype),
-            pltpu.VMEM((u, s_max, c), kv_cache.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        # the cache input aliases the cache output: in-place row write
+        input_output_aliases={4: 1} if write_row else {},
         # G=2 is the measured sweet spot: the cross-utterance score blocks
         # grow as G^2 and outpace the per-program launch savings beyond it
         # (G=8: 61 us/layer vs G=2: 39). The raised scoped-VMEM limit keeps
@@ -237,7 +314,8 @@ def decode_attention(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
-    )(
-        jnp.asarray(pos, jnp.int32).reshape(1),
-        q.reshape(b // group, u, c), bias2, kv_cache,
-    ).reshape(n, c)
+    )(*operands)
+    out = res[0].reshape(n, c)
+    if write_row:
+        return out, res[1]
+    return out

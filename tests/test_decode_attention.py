@@ -107,3 +107,27 @@ def test_fused_prefix_bounded_reads():
     )
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
                                rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("pos", [0, 11, 63])
+def test_write_row_matches_prewritten(pos):
+    """kv_row mode (the kernel stores row `pos` itself, aliased cache
+    output) must be bit-identical to pre-writing the row with a
+    dynamic-update-slice and calling the read-only kernel."""
+    q, k_cache, v_cache, bias, _, heads = make_case(17, pos=pos)
+    kv = jnp.asarray(np.concatenate([k_cache, v_cache], -1))
+    rng = np.random.RandomState(99)
+    new_row = jnp.asarray(rng.randn(kv.shape[0], kv.shape[2]).astype(np.float32))
+
+    pre = jax.lax.dynamic_update_slice(kv, new_row[:, None, :], (0, pos, 0))
+    out_ref = decode_attention(
+        jnp.asarray(pos), jnp.asarray(q), pre, jnp.asarray(bias),
+        lanes=3, heads=heads,
+    )
+    # stale bytes at row pos in `kv`; the kernel must overwrite them
+    out, kv_new = decode_attention(
+        jnp.asarray(pos), jnp.asarray(q), kv, jnp.asarray(bias),
+        lanes=3, heads=heads, kv_row=new_row,
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_ref))
+    np.testing.assert_array_equal(np.asarray(kv_new), np.asarray(pre))
