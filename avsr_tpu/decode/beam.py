@@ -106,22 +106,10 @@ class BeamSearchConfig:
         return int(self.pre_beam_ratio * self.beam_size)
 
 
-def _exact_topk(x: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
-    """Exact top-k along the last axis by k rounds of (max, argmax, mask).
-
-    Descending order, ties broken toward the lower index — identical to
-    lax.top_k / torch.topk — but avoids the full sort XLA lowers top_k and
-    approx_max_k(recall_target=1.0) to on TPU, which dominates for small k
-    over a large vocab inside the decode loop."""
-    iota = jnp.arange(x.shape[-1], dtype=jnp.int32)
-    vals, ids = [], []
-    v = x
-    for _ in range(k):
-        idx = v.argmax(-1).astype(jnp.int32)
-        vals.append(jnp.take_along_axis(v, idx[..., None], -1)[..., 0])
-        ids.append(idx)
-        v = jnp.where(iota == idx[..., None], -jnp.inf, v)
-    return jnp.stack(vals, -1), jnp.stack(ids, -1)
+# exact top-k by k rounds of (max, argmax, mask) — the all-XLA reference
+# semantics that topk_lastdim's kernel replicates (ties toward the lower
+# index, matching lax.top_k / torch.topk); kept importable for parity tests
+from avsr_tpu.ops.pallas.topk import _xla_topk as _exact_topk  # noqa: E402
 
 
 def beam_search_batched(

@@ -46,6 +46,9 @@ class Recognizer:
     # self-KV buffer cap (see BeamSearchConfig.max_decode_tokens);
     # None = reference-exact frame-count-sized buffer
     max_decode_tokens: int | None = None
+    # single-Pallas-program bookkeeping step (BeamSearchConfig equivalent);
+    # False = plain XLA ops, kept for A/B and as a lowering fallback
+    fused_bookkeeping: bool = True
     # video transfer codec: "uint8" uploads raw crops; "delta" uploads
     # temporal deltas (lossless, reconstructed on device — see data/wire.py).
     # Smooth real video deltas compress several-fold in transit on links
@@ -123,6 +126,7 @@ class Recognizer:
                 blank=self.cfg.blank,
                 vocab=self.cfg.odim,
                 max_decode_tokens=self.max_decode_tokens,
+                fused_bookkeeping=self.fused_bookkeeping,
                 # both recognizer families use TransformerDecoder, whose
                 # cross-attention folds beam lanes into the query axis
                 shared_src_kv=True,

@@ -20,6 +20,7 @@ ties); parity-tested against it.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +28,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG_I32 = 2**31 - 1  # python int: jnp scalars would be captured consts
+
+
+def _xla_topk(x: jax.Array, k: int):
+    """Plain-XLA iterated argmax with identical semantics (kill-switch
+    AVSR_TOPK_KERNEL=0; also the shape-fallback for degenerate inputs)."""
+    iota = jnp.arange(x.shape[-1], dtype=jnp.int32)
+    vals, ids = [], []
+    v = x
+    for _ in range(k):
+        idx = v.argmax(-1).astype(jnp.int32)
+        vals.append(jnp.take_along_axis(v, idx[..., None], -1)[..., 0])
+        ids.append(idx)
+        v = jnp.where(iota == idx[..., None], -jnp.inf, v)
+    return jnp.stack(vals, -1), jnp.stack(ids, -1)
 
 
 def _topk_kernel(x_ref, vals_ref, ids_ref, *, k: int):
@@ -55,6 +70,8 @@ def topk_lastdim(
     """Exact (values, indices) top-k along the last axis, descending,
     ties toward the lower index. Leading axes are flattened into rows;
     the whole buffer runs as one grid program (beam-loop shapes are ~1 MB)."""
+    if os.environ.get("AVSR_TOPK_KERNEL", "1") == "0":
+        return _xla_topk(x, k)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     lead = x.shape[:-1]

@@ -111,8 +111,23 @@ def main() -> None:
     # (a few gray levels/frame) instead.
     feats_v = [smooth_crops(rng, t) for _ in range(b)]
 
-    # warmup / compile
-    rec.transcribe_batch(feats_a, feats_v, mode="beam")
+    # warmup / compile. If a round-3 serving kernel fails to lower on this
+    # device generation (Mosaic rules are only checked on real hardware),
+    # fall back to the round-2-validated configuration rather than dying:
+    # a degraded bench number beats no bench number.
+    try:
+        rec.transcribe_batch(feats_a, feats_v, mode="beam")
+    except Exception as e:  # pragma: no cover - device-specific
+        print(f"# full config failed ({type(e).__name__}); "
+              "retrying with round-2 serving config", flush=True)
+        os.environ["AVSR_DECODE_FUSED_KV_WRITE"] = "0"
+        os.environ["AVSR_TOPK_KERNEL"] = "0"
+        rec = Recognizer(
+            model=model, variables=variables, cfg=cfg,
+            t_buckets=(FRAMES + 2,), max_decode_tokens=192,
+            fused_bookkeeping=False,
+        )
+        rec.transcribe_batch(feats_a, feats_v, mode="beam")
 
     # pipelined: dispatch batch i+1 while batch i decodes (async dispatch
     # hides host collation + transfer under device compute). Take the best
