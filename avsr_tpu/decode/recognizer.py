@@ -49,6 +49,14 @@ class Recognizer:
     # single-Pallas-program bookkeeping step (BeamSearchConfig equivalent);
     # False = plain XLA ops, kept for A/B and as a lowering fallback
     fused_bookkeeping: bool = True
+    # encoder forward dtype at decode time. 'bfloat16' runs the 24x1024
+    # encoder (+CTC head input) in bf16 — ~4x the fp32 MXU rate on v5e —
+    # with the CTC log-softmax and all downstream beam math still fp32.
+    # Like the bf16 decoder weights/caches, this trades exact fp32 parity
+    # for speed: token-stability is tested at tiny scale and the flagship
+    # stepwise-score bound covers the peaked trained-weight regime.
+    # 'float32' (default) keeps the reference-exact serving numerics.
+    encode_dtype: str = "float32"
     # video transfer codec: "uint8" uploads raw crops; "delta" uploads
     # temporal deltas (lossless, reconstructed on device — see data/wire.py).
     # Smooth real video deltas compress several-fold in transit on links
@@ -95,6 +103,7 @@ class Recognizer:
             model = self.model
 
             wire = self.video_wire
+            enc_dtype = jnp.dtype(self.encode_dtype)
 
             @functools.partial(jax.jit, **self._shardings(3))
             def run(variables, audios, videos, lengths):
@@ -107,11 +116,24 @@ class Recognizer:
                     if wire == "delta":
                         videos = delta_decode_video(videos)
                     videos = (videos.astype(jnp.float32) / 255.0 - VIDEO_MEAN) / VIDEO_STD
+                if enc_dtype != jnp.float32:
+                    # bf16 encoder forward: cast params, BN stats and inputs
+                    # (fp32 BN stats would re-promote every trunk activation
+                    # to fp32 via flax's dtype promotion, silently undoing
+                    # the cast). At inference BN is just an affine rescale.
+                    variables = jax.tree.map(
+                        lambda x: x.astype(enc_dtype)
+                        if x.dtype == jnp.float32 else x,
+                        variables,
+                    )
+                    audios = audios.astype(enc_dtype)
+                    videos = videos.astype(enc_dtype)
                 feats = model.apply(
                     variables, audios, videos, lengths, method="encode"
                 )
                 ctc_logp = model.apply(variables, feats, method="ctc_log_probs")
-                return feats, ctc_logp
+                # beam math downstream is fp32 regardless of encode dtype
+                return feats.astype(jnp.float32), ctc_logp
 
             self._encode_cache["fn"] = run
         return self._encode_cache["fn"]

@@ -614,3 +614,25 @@ def test_fused_bookkeeping_matches_xla_path(setup, ctc_w, penalty):
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))  # bit-exact
+
+
+def test_bf16_encode_token_stability(setup):
+    """Recognizer(encode_dtype='bfloat16'): the bf16 encoder forward must
+    not change decoded tokens on realistic inputs (same contract as the
+    bf16 KV-cache / decode-weight knobs)."""
+    from avsr_tpu.decode.recognizer import Recognizer
+
+    tmodel, jmodel, variables, jcfg = setup
+    rng = np.random.RandomState(41)
+    feats_a = [rng.randn(14, 104).astype(np.float32) for _ in range(2)]
+    feats_v = [rng.randn(14, 88, 88, 1).astype(np.float32) for _ in range(2)]
+    outs = {}
+    for dt in ("float32", "bfloat16"):
+        rec = Recognizer(
+            model=jmodel, variables=variables, cfg=jcfg,
+            t_buckets=(16,), encode_dtype=dt,
+        )
+        outs[dt] = rec.transcribe_batch(feats_a, feats_v, mode="beam")
+    assert len(outs["float32"]) == len(outs["bfloat16"]) == 2
+    for y32, y16 in zip(outs["float32"], outs["bfloat16"]):
+        np.testing.assert_array_equal(np.asarray(y32), np.asarray(y16))
