@@ -100,6 +100,9 @@ def main() -> None:
     rec = Recognizer(
         model=model, variables=variables, cfg=cfg, t_buckets=(FRAMES + 2,),
         max_decode_tokens=192,
+        # bf16 encoder forward (AVSR_BENCH_ENCODE_DTYPE=float32 to A/B):
+        # token-stability tested; fp32 matmuls run at ~1/4 the MXU rate
+        encode_dtype=os.environ.get("AVSR_BENCH_ENCODE_DTYPE", "bfloat16"),
     )
     feats_a = [rng.randn(t, 104).astype(np.float32) for _ in range(b)]
     # crops travel uint8 (as in the eval pipeline); normalized on device.
