@@ -1,0 +1,109 @@
+"""Device-vs-interpret self-check for the round-3 serving kernels.
+
+interpret=True (all CPU tests) validates semantics but not Mosaic lowering
+or on-device numerics; this runs each kernel once on the current default
+backend at serving-like shapes and compares against the interpret path
+bit-for-bit (fp32 attention output: rounding tolerance only). Raises on
+any mismatch or lowering failure — callers (bench.py, tools/kernel_smoke)
+use that to fall back to the previous-generation serving config.
+
+Cost on TPU: three small pallas compiles (~seconds each with the
+persistent compilation cache).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def check_serving_kernels() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    on_accel = jax.default_backend() != "cpu"
+
+    # --- topk_lastdim ---
+    from avsr_tpu.ops.pallas.topk import topk_lastdim
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(32, 3, 5049).astype(np.float32))
+    v_t, i_t = jax.jit(lambda a: topk_lastdim(a, 4, interpret=not on_accel))(x)
+    v_i, i_i = topk_lastdim(np.asarray(x), 4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_t), np.asarray(i_i))
+    np.testing.assert_array_equal(np.asarray(v_t), np.asarray(v_i))
+    xf = jnp.asarray(rng.randn(32, 39).astype(np.float32))
+    v_t, i_t = jax.jit(lambda a: topk_lastdim(a, 3, interpret=not on_accel))(xf)
+    v_i, i_i = topk_lastdim(np.asarray(xf), 3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_t), np.asarray(i_i))
+
+    # --- beam_update (lazy + ctc, serving config) ---
+    from avsr_tpu.ops.pallas.beam_update import beam_update
+
+    b, k, sp, ll, s_kv = 32, 3, 4, 377, 192
+    args = dict(
+        i=jnp.asarray(5, jnp.int32),
+        xlens=jnp.asarray(rng.randint(4, 370, size=(b,)).astype(np.int32)),
+        dec_top=jnp.asarray(
+            np.sort(rng.randn(b, k, sp).astype(np.float32), axis=-1)[..., ::-1]
+        ),
+        dec_eos=jnp.asarray(rng.randn(b, k).astype(np.float32) - 5),
+        psi_cand=jnp.asarray(rng.randn(b, k, sp).astype(np.float32)),
+        psi_eos=jnp.asarray(rng.randn(b, k).astype(np.float32)),
+        ctc_s=jnp.asarray(rng.randn(b, k).astype(np.float32)),
+        part_ids=jnp.asarray(
+            rng.randint(1, 5049, size=(b, k, sp)).astype(np.int32)
+        ),
+        score=jnp.asarray(rng.randn(b, k).astype(np.float32)),
+        alive=jnp.asarray(rng.rand(b, k) > 0.2),
+        stop=jnp.asarray(rng.rand(b) > 0.9),
+        yseq=jnp.asarray(rng.randint(0, 5049, size=(b, k, ll)).astype(np.int32)),
+        anc=jnp.asarray(rng.randint(0, k, size=(s_kv, b, k)).astype(np.int32)),
+        ended_best=jnp.asarray(rng.randn(b, ll).astype(np.float32)),
+        ended_cnt=jnp.asarray(rng.randint(0, 3, size=(b, ll)).astype(np.int32)),
+        best_score=jnp.asarray(rng.randn(b).astype(np.float32)),
+        best_yseq=jnp.asarray(rng.randint(0, 5049, size=(b, ll)).astype(np.int32)),
+        best_len=jnp.asarray(rng.randint(0, ll, size=(b,)).astype(np.int32)),
+    )
+    kw = dict(w_dec=0.9, w_ctc=0.1, penalty=0.0, eos=5048, lazy=True,
+              neg=-1.0e30, d_end=-10.0, m_end=3)
+    got = jax.jit(lambda **a: beam_update(**a, **kw, interpret=not on_accel))(
+        **args
+    )
+    want = beam_update(**args, **kw, interpret=True)
+    for name in want:
+        np.testing.assert_array_equal(
+            np.asarray(got[name]), np.asarray(want[name]), err_msg=name
+        )
+
+    # --- decode_attention with in-kernel KV row write ---
+    from avsr_tpu.ops.pallas.decode_attention import decode_attention
+
+    n, s_max, heads, dh = b * k, s_kv, 16, 64
+    c = heads * dh
+    pos = 37
+    q = jnp.asarray(rng.randn(n, c).astype(np.float32))
+    kv = jnp.asarray(rng.randn(n, s_max, 2 * c).astype(np.float32))
+    new_row = jnp.asarray(rng.randn(n, 2 * c).astype(np.float32))
+    anc = rng.randint(0, k, size=(s_max, b, k))
+    anc[pos] = np.arange(k)[None, :]
+    s_idx = np.arange(s_max)
+    valid = (s_idx <= pos)[:, None, None, None] & (
+        anc[..., None] == np.arange(k)
+    )
+    bias = jnp.asarray(
+        np.where(np.transpose(valid, (1, 2, 0, 3)), 0.0, -1.0e30)
+        .astype(np.float32)
+    )
+    out_t, kv_t = jax.jit(
+        lambda *a: decode_attention(
+            *a, lanes=k, heads=heads, kv_row=new_row, interpret=not on_accel
+        )
+    )(jnp.asarray(pos), q, kv, bias)
+    out_i, kv_i = decode_attention(
+        jnp.asarray(pos), q, kv, bias, lanes=k, heads=heads,
+        kv_row=new_row, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(kv_t), np.asarray(kv_i))
+    np.testing.assert_allclose(
+        np.asarray(out_t), np.asarray(out_i), rtol=2e-2, atol=2e-2
+    )

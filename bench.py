@@ -115,10 +115,14 @@ def main() -> None:
     feats_v = [smooth_crops(rng, t) for _ in range(b)]
 
     # warmup / compile. If a round-3 serving kernel fails to lower on this
-    # device generation (Mosaic rules are only checked on real hardware),
-    # fall back to the round-2-validated configuration rather than dying:
-    # a degraded bench number beats no bench number.
+    # device generation (Mosaic rules are only checked on real hardware) or
+    # disagrees with its interpret-mode semantics, fall back to the
+    # round-2-validated configuration rather than dying or recording a
+    # throughput for a silently-wrong decode.
     try:
+        from avsr_tpu.ops.pallas.selfcheck import check_serving_kernels
+
+        check_serving_kernels()
         rec.transcribe_batch(feats_a, feats_v, mode="beam")
     except Exception as e:  # pragma: no cover - device-specific
         print(f"# full config failed ({type(e).__name__}); "
@@ -129,6 +133,8 @@ def main() -> None:
             model=model, variables=variables, cfg=cfg,
             t_buckets=(FRAMES + 2,), max_decode_tokens=192,
             fused_bookkeeping=False,
+            # plain-XLA bf16 cast, no lowering risk — keep it in the fallback
+            encode_dtype=os.environ.get("AVSR_BENCH_ENCODE_DTYPE", "bfloat16"),
         )
         rec.transcribe_batch(feats_a, feats_v, mode="beam")
 
