@@ -37,6 +37,7 @@ through constant 0/1 iota masks on packed 2-D axes.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -244,6 +245,9 @@ def decode_attention(
     del chunk
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # group-size sweep knob (r2's G=2 verdict predates prefix-bounded
+    # reads + the raised scoped-VMEM limit; re-measure per generation)
+    group = int(os.environ.get("AVSR_DECODE_ATTN_GROUP", group))
     n, s_max, c2 = kv_cache.shape
     c = c2 // 2
     b = n // lanes
