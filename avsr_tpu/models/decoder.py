@@ -226,7 +226,14 @@ class DecoderLayer(nn.Module):
             )
             qkv = h.reshape(n, self.dim) @ w_qkv + b_qkv  # (N, 3C)
             q = qkv[:, : self.dim] * d_k ** -0.5
-            if os.environ.get("AVSR_DECODE_FUSED_KV_WRITE", "1") != "0":
+            # Default OFF: the in-kernel row write needs a size-1 DMA slice
+            # along the (8,128)-tiled S dim at a dynamic position, which
+            # Mosaic rejects on v5e ("Slice shape along dimension 1 must be
+            # aligned to tiling (8)"). No cache layout fixes this without
+            # 8x padding or chunk-sized write-back traffic, so the row write
+            # stays an XLA dynamic-update-slice (~76 us/step at B=16 for all
+            # 6 layers). Opt-in for toolchains that lift the restriction.
+            if os.environ.get("AVSR_DECODE_FUSED_KV_WRITE", "0") == "1":
                 # the kernel stores this step's K|V row itself (aliased
                 # in-place cache output) — one fewer XLA launch per layer
                 out, self_kv = decode_attention(

@@ -91,12 +91,18 @@ def _kernel(
 
     xlens = xlens_ref[...]                      # (B, 1)
     stop_in = stop_ref[...] != 0                # (B, 1)
-    alive_in = alive_ref[...] != 0              # (B, K)
+    alive_i = alive_ref[...]                    # (B, K) i32
+    alive_in = alive_i != 0                     # (B, K)
     score_in = score_ref[...]
     part_ids = part_ids_ref[...]
 
+    # Masks that need a trailing broadcast dim are kept int32: Mosaic only
+    # supports minor-dim insertion (reshape (B,K)->(B,K,1)) for 32-bit
+    # types, so expand the i32 and compare at the broadcast rank.
     lane_active = jnp.logical_and(~stop_in, i < xlens)   # (B, 1)
+    lane_i = lane_active.astype(jnp.int32)               # (B, 1) i32
     forced = i >= xlens - 1                              # (B, 1)
+    forced_i = forced.astype(jnp.int32)
 
     # --- candidate scores, replicated from the XLA path expression order ---
     cand_dec = jnp.concatenate(
@@ -115,33 +121,47 @@ def _kernel(
         psi_all = jnp.zeros((b, k, c), jnp.float32)
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (b, k, c), 2)
     # any() as an int32 max: i1 reductions are shaky in Mosaic
-    eos_dup = jnp.max((part_ids == eos).astype(jnp.int32), axis=-1) > 0
+    eos_dup_i = jnp.max((part_ids == eos).astype(jnp.int32), axis=-1,
+                        keepdims=True)  # (B, K, 1) i32
     weighted = jnp.where(
-        jnp.logical_and(c_iota == c - 1, eos_dup[:, :, None]), neg, weighted
+        jnp.logical_and(c_iota == c - 1, eos_dup_i > 0), neg, weighted
     )
     if penalty != 0.0:
         weighted = weighted + penalty
     weighted = weighted + score_in[:, :, None]
-    weighted = jnp.where(alive_in[:, :, None], weighted, neg)
+    weighted = jnp.where(alive_i[:, :, None] != 0, weighted, neg)
 
     # --- flat top-k over (K, C): k rounds of max / min-index / mask ---
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (b, k, c), 1)
     idx3 = k_iota * c + c_iota
+
+    # axis-at-a-time reductions: a multi-axis keepdims reduce goes through a
+    # rank-1 (B,) intermediate whose reshape to (B,1,1) crashes Mosaic's
+    # layout inference; per-axis keepdims stays >=2-D throughout.
+    def _rmax(v):  # (B,K,C) -> (B,1,1)
+        return jnp.max(jnp.max(v, axis=2, keepdims=True), axis=1,
+                       keepdims=True)
+
+    def _rmin(v):
+        return jnp.min(jnp.min(v, axis=2, keepdims=True), axis=1,
+                       keepdims=True)
+
+    def _rsum(v):
+        return jnp.sum(jnp.sum(v, axis=2, keepdims=True), axis=1,
+                       keepdims=True)
+
     tops, idxs, toks, psis = [], [], [], []
     x = weighted
     for _ in range(k):
-        m = jnp.max(x, axis=(1, 2), keepdims=True)                    # (B,1,1)
+        m = _rmax(x)                                                  # (B,1,1)
         hit = x == m
-        sel = jnp.min(jnp.where(hit, idx3, _BIG_I32), axis=(1, 2),
-                      keepdims=True)                                  # (B,1,1)
+        sel = _rmin(jnp.where(hit, idx3, _BIG_I32))                   # (B,1,1)
         one = idx3 == sel
         tops.append(m[:, :, 0])
         idxs.append(sel[:, :, 0])
         # one-hot sum-select: exactly one term is nonzero
-        toks.append(jnp.sum(jnp.where(one, cand_tok, 0), axis=(1, 2),
-                            keepdims=True)[:, :, 0])
-        psis.append(jnp.sum(jnp.where(one, psi_all, 0.0), axis=(1, 2),
-                            keepdims=True)[:, :, 0])
+        toks.append(_rsum(jnp.where(one, cand_tok, 0))[:, :, 0])
+        psis.append(_rsum(jnp.where(one, psi_all, 0.0))[:, :, 0])
         x = jnp.where(one, -jnp.inf, x)
     top_scores = jnp.concatenate(tops, axis=1)   # (B, K)
     top_idx = jnp.concatenate(idxs, axis=1)
@@ -158,23 +178,32 @@ def _kernel(
     # --- successor token buffers: gather rows by `prev`, then this step's
     # column writes (position i+1 = new token; i+2 = forced final eos) ---
     yseq_in = yseq_ref[...]
-    # gather along the beam axis by unrolled nested selects (K is tiny)
-    y_new = jnp.broadcast_to(yseq_in[:, k - 1, None, :], (b, k, ll))
+    # gather along the beam axis by unrolled nested selects (K is tiny).
+    # Static rows via lax.slice_in_dim: int-index + newaxis goes through
+    # jnp's gather path, which Mosaic only lowers in 2D.
+    def _row(j):  # (B, 1, L)
+        return jax.lax.slice_in_dim(yseq_in, j, j + 1, axis=1)
+
+    y_new = jnp.broadcast_to(_row(k - 1), (b, k, ll))
     for j in range(k - 2, -1, -1):
-        y_new = jnp.where(prev[:, :, None] == j, yseq_in[:, j, None, :], y_new)
+        y_new = jnp.where(prev[:, :, None] == j, _row(j), y_new)
     l_iota = jax.lax.broadcasted_iota(jnp.int32, (b, k, ll), 2)
     y_new = jnp.where(l_iota == i + 1, token[:, :, None], y_new)
     y_new = jnp.where(
-        jnp.logical_and(l_iota == i + 2, forced[:, :, None]), eos, y_new
+        jnp.logical_and(l_iota == i + 2, forced_i[:, :, None] != 0), eos, y_new
     )
-    yseq_o[...] = jnp.where(lane_active[:, :, None], y_new, yseq_in)
+    yseq_o[...] = jnp.where(lane_i[:, :, None] != 0, y_new, yseq_in)
 
     # --- lazy-reorder ancestry: anc[s, b, k] <- anc[s, b, prev[b, k]] ---
     if lazy:
         anc_in = anc_ref[...]  # (S, B, K)
-        a_new = jnp.broadcast_to(anc_in[:, :, k - 1, None], anc_in.shape)
+
+        def _lane(j):  # (S, B, 1)
+            return jax.lax.slice_in_dim(anc_in, j, j + 1, axis=2)
+
+        a_new = jnp.broadcast_to(_lane(k - 1), anc_in.shape)
         for j in range(k - 2, -1, -1):
-            a_new = jnp.where(prev[None] == j, anc_in[:, :, j, None], a_new)
+            a_new = jnp.where(prev[None] == j, _lane(j), a_new)
         anc_o[...] = a_new
 
     # --- retirement + per-step ended statistics ---
@@ -202,17 +231,21 @@ def _kernel(
     better = jnp.logical_and(step_best > best_score_ref[...], lane_active)
     best_score_new = jnp.where(better, step_best, best_score_ref[...])
     best_score_o[...] = best_score_new
-    picked = y_new[:, k - 1, :]  # (B, L)
+    def _pick(j):  # (B, L)
+        return jax.lax.slice_in_dim(y_new, j, j + 1, axis=1)[:, 0, :]
+
+    picked = _pick(k - 1)
     for j in range(k - 2, -1, -1):
-        picked = jnp.where(best_slot == j, y_new[:, j, :], picked)
+        picked = jnp.where(best_slot == j, _pick(j), picked)
     best_yseq_o[...] = jnp.where(better, picked, best_yseq_ref[...])
     best_len_o[...] = jnp.where(better, hyp_len, best_len_ref[...])
 
     # --- freeze small state on finished lanes ---
+    # select on int32, not i1: Mosaic can't truncate select results to i1
     alive_new = jnp.logical_and(~ended, lane_active)
     score_new = jnp.where(alive_new, top_scores, neg)
     score_o[...] = jnp.where(lane_active, score_new, score_in)
-    alive_out = jnp.where(lane_active, alive_new, alive_in).astype(jnp.int32)
+    alive_out = jnp.where(lane_active, alive_new.astype(jnp.int32), alive_i)
     alive_o[...] = alive_out
 
     # --- end detection (e2e_asr_common.end_detect) ---

@@ -90,11 +90,29 @@ def main() -> None:
     print(f"fixture pool: {args.clips} clips under {tmp}")
     samples = build_fixture_pool(tmp, args.clips)
 
+    # Real interferer path (cli/train.py `interferer`): SNR mixing draws 0-2
+    # interferer utterances per training sample, each an mp4 audio decode.
+    # The lru_cache bounds that to one decode per utterance per pool cycle —
+    # this soak exercises decode + cache + mixing on the critical path, not
+    # a synthesized-waveform stand-in.
+    import functools
+
+    from avsr_tpu.data import media
+
+    @functools.lru_cache(maxsize=256)
+    def _decode_interferer(idx: int):
+        return media.load_audio(samples[idx]["video"])
+
+    def interferer(rng):
+        return _decode_interferer(int(rng.randint(len(samples))))
+
     def make_collator():
         return DataCollator(
             text_transform=TextTransform(),
             video_transform=VideoTransform("train", device_norm=True),
-            audio_transform=AudioTransform("train"),
+            audio_transform=AudioTransform(
+                "train", sample_interferer=interferer
+            ),
         )
 
     micro, accum = args.batch, args.grad_accum

@@ -24,6 +24,8 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--frames", type=int, default=375)
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--encode_dtype", default="bfloat16")
+    ap.add_argument("--fused_bookkeeping", type=int, default=1)
     args = ap.parse_args()
 
     import numpy as np
@@ -60,6 +62,8 @@ def main() -> None:
     rec = Recognizer(
         model=model, variables=variables, cfg=cfg, t_buckets=(t + 2,),
         max_decode_tokens=192,
+        encode_dtype=args.encode_dtype,
+        fused_bookkeeping=bool(args.fused_bookkeeping),
     )
     feats_a = [rng.randn(t, 104).astype(np.float32) for _ in range(b)]
     feats_v = [smooth_crops(rng, t) for _ in range(b)]
@@ -72,8 +76,19 @@ def main() -> None:
 
     per_op, n_op, total = parse_trace(trace_dir, 1)
     audio_s = b * t / 25.0
-    print(f"device total: {total:.1f} ms/batch ({audio_s:.0f} audio-s "
-          f"=> {audio_s / total * 1e3:.0f} audio-s/s device-side)")
+    # `total` double-counts: a while.N envelope event covers its body ops,
+    # which also appear individually (xTRIP_COUNT). Top-level time = x1/x2
+    # events (outside any loop) + the while envelopes themselves.
+    whiles = {n: d for n, d in per_op.items() if n.startswith("while")}
+    top_level = sum(
+        d for n, d in per_op.items()
+        if n_op[n] <= 2 and not n.startswith("while")
+    ) + sum(whiles.values())
+    print(f"device top-level: {top_level:.1f} ms/batch ({audio_s:.0f} audio-s"
+          f" => {audio_s / top_level * 1e3:.0f} audio-s/s device-side)")
+    for n, d in sorted(whiles.items(), key=lambda kv: -kv[1]):
+        print(f"  loop {n}: {d:.1f} ms")
+    print(f"(raw event sum incl. loop bodies: {total:.1f} ms)")
     for name, dur in per_op.most_common(args.top):
         print(f"  {dur:9.3f} ms  x{n_op[name]:<5d} {name}")
 
