@@ -98,8 +98,12 @@ class BeamSearchConfig:
     # run the whole post-scoring bookkeeping step (flat top-k, successor
     # gathers, retirement, best tracking, end detection) as ONE Pallas
     # program (ops/pallas/beam_update.py) instead of ~100 launch-bound XLA
-    # ops. Bit-identical selection semantics; False = plain XLA path.
-    fused_bookkeeping: bool = True
+    # ops. Bit-identical selection semantics. Default OFF: measured on v5e
+    # at B=32 the kernel itself runs ~77 us/step but forces ~40 us/step
+    # relayout copies on each side of the pallas_call boundary and breaks
+    # XLA fusions around it — device beam loop 839 ms vs 692 ms per
+    # 375-step batch WITH vs WITHOUT (533 vs 458 audio-s/s device-side).
+    fused_bookkeeping: bool = False
 
     @property
     def pre_beam_size(self) -> int:

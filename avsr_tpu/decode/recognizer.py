@@ -46,9 +46,11 @@ class Recognizer:
     # self-KV buffer cap (see BeamSearchConfig.max_decode_tokens);
     # None = reference-exact frame-count-sized buffer
     max_decode_tokens: int | None = None
-    # single-Pallas-program bookkeeping step (BeamSearchConfig equivalent);
-    # False = plain XLA ops, kept for A/B and as a lowering fallback
-    fused_bookkeeping: bool = True
+    # single-Pallas-program bookkeeping step (BeamSearchConfig equivalent).
+    # Default False: the plain XLA ops measure faster at serving shapes —
+    # the kernel boundary costs more in relayout copies + lost fusions than
+    # the launch overhead it removes (see BeamSearchConfig.fused_bookkeeping)
+    fused_bookkeeping: bool = False
     # encoder forward dtype at decode time. 'bfloat16' runs the 24x1024
     # encoder (+CTC head input) in bf16 — ~4x the fp32 MXU rate on v5e —
     # with the CTC log-softmax and all downstream beam math still fp32.
