@@ -106,10 +106,30 @@ def stack_frames_np(feats: np.ndarray, stack_order: int = STACK_ORDER) -> np.nda
 
 
 def _load_native():
-    """ctypes handle to the C++ featurizer (avsr_tpu/native), if built."""
+    """ctypes handle to the C++ featurizer (avsr_tpu/native), if built.
+
+    Builds it on first use when only the source is present (one g++ call,
+    ~2 s) so a fresh checkout gets the fast data plane without a manual
+    build step; any build/load failure falls back to the numpy path.
+    """
     import ctypes
 
-    so = os.path.join(os.path.dirname(__file__), "..", "native", "libavsr_native.so")
+    native_dir = os.path.join(os.path.dirname(__file__), "..", "native")
+    so = os.path.join(native_dir, "libavsr_native.so")
+    if not os.path.exists(so):
+        src = os.path.join(native_dir, "fbank.cpp")
+        if not os.path.exists(src):
+            return None
+        import subprocess
+
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-o", so, src],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            return None
     if not os.path.exists(so):
         return None
     try:
