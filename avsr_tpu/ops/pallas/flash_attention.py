@@ -11,19 +11,32 @@ the saved per-row logsumexp (flash-attention-2 style): one kernel produces
 dQ streaming K/V, a second produces dK/dV streaming Q/dO.
 
 Attention-prob dropout (reference trains with attention_dropout=0.1 inside
-HF Wav2Vec2Attention, avhubert.py:747-layer) is supported via an explicit
-pre-scaled mask tensor (entries 0 or 1/keep_prob) generated outside the
-kernel from the layer's dropout PRNG and streamed through all three
-kernels. Keeping the mask an input (rather than re-deriving it from an
-in-kernel PRNG) guarantees fwd/bwd consistency by construction, works in
-interpret mode, and makes the path exactly testable against an eager
-reference given the same mask; at these sequence lengths (T <= ~512) the
-(N, T, T) mask is a few MB — noise next to the weight traffic. Dropout
-applies to the *normalized* probabilities; since the per-row normalizer l
-uses the undropped p and division is elementwise, the online-softmax
-update accumulates p*mask into acc while l accumulates p, matching
-softmax -> dropout -> matmul exactly. The saved delta = rowsum(dO*O)
-identity still holds under dropout (delta = rowsum(P o dP~) = dO.O).
+HF Wav2Vec2Attention, avhubert.py:747-layer) has two implementations with
+identical marginal semantics:
+
+- **In-kernel PRNG (TPU serving path, default on hardware).** Each kernel
+  seeds the core PRNG from (seed, absolute head index[, q-block, k-block])
+  via pltpu.prng_seed and regenerates the keep mask tile it needs with
+  pltpu.prng_random_bits — forward and both backward kernels derive
+  byte-identical masks from the same coordinates, so nothing is
+  materialized. The XLA alternative materializes a (N, T, T) mask in HBM:
+  at B=24/T=384 that is 113 MB/layer written by a threefry fusion
+  (~1.6 ms/layer, regenerated again by the remat recompute) and read by
+  all three kernels — measured ~15-20%% of the whole train step.
+- **Explicit mask operand (interpret/CPU path + tests).** Mosaic's
+  prng_seed has no interpret-mode rule, so off-TPU the pre-scaled mask
+  (entries 0 or 1/keep) is generated outside with jax.random.bernoulli
+  and streamed through the kernels. This also keeps the path exactly
+  testable against an eager reference given the same mask. The two paths
+  draw different bits (only the dropout distribution matches), which is
+  the usual contract for platform-dependent dropout.
+
+Dropout applies to the *normalized* probabilities; since the per-row
+normalizer l uses the undropped p and division is elementwise, the
+online-softmax update accumulates p*mask into acc while l accumulates p,
+matching softmax -> dropout -> matmul exactly. The saved delta =
+rowsum(dO*O) identity still holds under dropout (delta = rowsum(P o dP~)
+= dO.O).
 
 Layout: q, k, v are (N=B*H, T, D) with T padded to the block size; grids
 are (N, T/block) and each program streams the opposing sequence blocks
@@ -42,14 +55,55 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1.0e30
 
 
-def _flash_fwd_kernel(bias_ref, *refs, block_k: int, scale: float):
-    # blocks: bias (1,1,T), [mask (1,block_q,T)], q (1,block_q,D), k/v (1,T,D),
-    #         o (1,block_q,D), lse (1,1,block_q)
-    if len(refs) == 6:
+def _seed_prng(seed_ref, *coords):
+    """Seed the core PRNG from 2 seed words + tile coordinates.
+
+    Mosaic's prng_seed takes at most 2 values, so the coordinates (head,
+    q-block, k-block) are folded into the words with odd-constant integer
+    mixing (wrap-around int32 arithmetic). Forward and backward kernels
+    call this with identical coordinates, which is the only property the
+    dropout masks need; the constants just decorrelate the streams.
+    """
+    a = seed_ref[0]
+    b = seed_ref[1]
+    mults = (0x9E3779B1, 0x85EBCA6B, 0xC2B2AE35, 0x27D4EB2F, 0x165667B1,
+             0x2545F491)
+    # wrap the uint32 constants into int32 two's-complement range
+    m32 = [m - 2**32 if m >= 2**31 else m for m in mults]
+    for i, c in enumerate(coords):
+        c = jnp.int32(c)
+        a = a + c * jnp.int32(m32[2 * i])
+        b = (b ^ a) + c * jnp.int32(m32[2 * i + 1])
+    pltpu.prng_seed(a, b)
+
+
+def _rng_keep_mask(shape, rate: float):
+    """Pre-scaled keep mask from the core PRNG (call pltpu.prng_seed first).
+
+    Bits are compared in the SIGNED int32 domain: uniform int32 < theta has
+    probability (theta + 2^31) / 2^32, so theta = keep * 2^32 - 2^31 gives
+    P(keep) = 1 - rate without relying on Mosaic unsigned compares.
+    """
+    keep = 1.0 - rate
+    theta = int(round(keep * 2**32 - 2**31))
+    theta = max(min(theta, 2**31 - 1), -(2**31))
+    bits = jax.lax.bitcast_convert_type(
+        pltpu.prng_random_bits(shape), jnp.int32
+    )
+    return jnp.where(bits < jnp.int32(theta), 1.0 / keep, 0.0)
+
+
+def _flash_fwd_kernel(bias_ref, *refs, block_k: int, scale: float,
+                      rate: float = 0.0):
+    # blocks: bias (1,1,T), [seed (2,) SMEM | mask (1,block_q,T)],
+    #         q (1,block_q,D), k/v (1,T,D), o (1,block_q,D), lse (1,1,block_q)
+    seed_ref = mask_ref = None
+    if rate > 0.0:
+        seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref = refs
+    elif len(refs) == 6:
         mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref = refs
     else:
         q_ref, k_ref, v_ref, o_ref, lse_ref = refs
-        mask_ref = None
     t = k_ref.shape[1]
     d = q_ref.shape[2]
     block_q = q_ref.shape[1]
@@ -74,7 +128,12 @@ def _flash_fwd_kernel(bias_ref, *refs, block_k: int, scale: float):
         # only the value accumulation sees the pre-scaled 0-or-1/keep mask
         l_cur = l_prev * alpha + jnp.sum(p, axis=1)
         pv = p
-        if mask_ref is not None:
+        if seed_ref is not None:
+            # tile (head, q-block, k-block): bwd kernels re-derive the same
+            # coordinates, hence the same bits
+            _seed_prng(seed_ref, pl.program_id(0), pl.program_id(1), i)
+            pv = p * _rng_keep_mask((block_q, block_k), rate)
+        elif mask_ref is not None:
             pv = p * mask_ref[0, :, pl.ds(i * block_k, block_k)]
         acc = acc * alpha[:, None] + jax.lax.dot_general(
             pv.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
@@ -90,14 +149,18 @@ def _flash_fwd_kernel(bias_ref, *refs, block_k: int, scale: float):
     lse_ref[0, 0] = m + jnp.log(jnp.maximum(l, 1e-30))
 
 
-def _flash_bwd_dq_kernel(bias_ref, *refs, block_k: int, scale: float):
-    # blocks: bias (1,1,T), [mask (1,block_q,T)], q/do (1,block_q,D),
-    #         k/v (1,T,D), lse/delta (1,1,block_q), dq (1,block_q,D)
-    if len(refs) == 8:
+def _flash_bwd_dq_kernel(bias_ref, *refs, block_k: int, scale: float,
+                         rate: float = 0.0):
+    # blocks: bias (1,1,T), [seed (2,) SMEM | mask (1,block_q,T)],
+    #         q/do (1,block_q,D), k/v (1,T,D), lse/delta (1,1,block_q),
+    #         dq (1,block_q,D)
+    seed_ref = mask_ref = None
+    if rate > 0.0:
+        seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref = refs
+    elif len(refs) == 8:
         mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref = refs
     else:
         q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref = refs
-        mask_ref = None
     t = k_ref.shape[1]
     d = q_ref.shape[2]
     block_q = q_ref.shape[1]
@@ -119,8 +182,11 @@ def _flash_bwd_dq_kernel(bias_ref, *refs, block_k: int, scale: float):
             do, v_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        if mask_ref is not None:
+        if seed_ref is not None:
             # dP = (dO V^T) o M/keep : dropout gates the prob gradient
+            _seed_prng(seed_ref, pl.program_id(0), pl.program_id(1), i)
+            dp = dp * _rng_keep_mask((block_q, block_k), rate)
+        elif mask_ref is not None:
             dp = dp * mask_ref[0, :, pl.ds(i * block_k, block_k)]
         ds = (p * (dp - delta[:, None])).astype(k_blk.dtype)
         return acc + jax.lax.dot_general(
@@ -133,14 +199,18 @@ def _flash_bwd_dq_kernel(bias_ref, *refs, block_k: int, scale: float):
     dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
 
 
-def _flash_bwd_dkv_kernel(bias_ref, *refs, block_q: int, scale: float):
-    # blocks: bias (1,1,block_k), [mask (1,T,block_k)], k/v (1,block_k,D),
-    #         q/do (1,T,D), lse/delta (1,1,T), dk/dv (1,block_k,D)
-    if len(refs) == 9:
+def _flash_bwd_dkv_kernel(bias_ref, *refs, block_q: int, scale: float,
+                          rate: float = 0.0):
+    # blocks: bias (1,1,block_k), [seed (2,) SMEM | mask (1,T,block_k)],
+    #         k/v (1,block_k,D), q/do (1,T,D), lse/delta (1,1,T),
+    #         dk/dv (1,block_k,D)
+    seed_ref = mask_ref = None
+    if rate > 0.0:
+        seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref = refs
+    elif len(refs) == 9:
         mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref = refs
     else:
         q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref = refs
-        mask_ref = None
     t = q_ref.shape[1]
     d = q_ref.shape[2]
     block_k = k_ref.shape[1]
@@ -160,7 +230,13 @@ def _flash_bwd_dkv_kernel(bias_ref, *refs, block_q: int, scale: float):
         ) * scale + bias[None, :]
         p = jnp.exp(s - lse_blk[:, None])  # (block_q, block_k) fp32
         pm = p
-        if mask_ref is not None:
+        dmask = None
+        if seed_ref is not None:
+            # same (head, q-block, k-block) coordinates as the fwd/dq tiles
+            _seed_prng(seed_ref, pl.program_id(0), i, pl.program_id(1))
+            dmask = _rng_keep_mask((block_q, k.shape[0]), rate)
+            pm = p * dmask
+        elif mask_ref is not None:
             pm = p * mask_ref[0, pl.ds(i * block_q, block_q), :]
         # dV = P~^T dO with the dropped+rescaled probabilities
         dv = dv + jax.lax.dot_general(
@@ -171,7 +247,9 @@ def _flash_bwd_dkv_kernel(bias_ref, *refs, block_q: int, scale: float):
             do_blk, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        if mask_ref is not None:
+        if dmask is not None:
+            dp = dp * dmask
+        elif mask_ref is not None:
             dp = dp * mask_ref[0, pl.ds(i * block_q, block_q), :]
         ds = (p * (dp - delta_blk[:, None])).astype(q_blk.dtype)
         dk = dk + jax.lax.dot_general(
@@ -215,18 +293,22 @@ def _resident_max_t() -> int:
     return int(os.environ.get("AVSR_FLASH_RESIDENT_MAX_T", RESIDENT_MAX_T))
 
 
-def _resident_fwd_kernel(bias_ref, *refs, scale: float, group: int):
-    # blocks: bias (G, 1, T), [mask (G, T, T)], q/k/v (G, T, D),
-    #         o (G, T, D), lse (G, 1, T)
-    if len(refs) == 6:
+def _resident_fwd_kernel(bias_ref, *refs, scale: float, group: int,
+                         rate: float = 0.0):
+    # blocks: bias (G, 1, T), [seed (2,) SMEM | mask (G, T, T)],
+    #         q/k/v (G, T, D), o (G, T, D), lse (G, 1, T)
+    seed_ref = mask_ref = None
+    if rate > 0.0:
+        seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref = refs
+    elif len(refs) == 6:
         mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref = refs
     else:
         q_ref, k_ref, v_ref, o_ref, lse_ref = refs
-        mask_ref = None
     for g in range(group):  # static unroll: straight-line MXU work
         q = q_ref[g]  # (T, D)
         k = k_ref[g]
         v = v_ref[g]
+        t = q.shape[0]
         bias = bias_ref[g, 0].astype(jnp.float32)  # (T,)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -235,7 +317,13 @@ def _resident_fwd_kernel(bias_ref, *refs, scale: float, group: int):
         m = jnp.max(s, axis=1)
         p = jnp.exp(s - m[:, None])
         l = jnp.maximum(jnp.sum(p, axis=1), 1e-30)
-        pv = p if mask_ref is None else p * mask_ref[g]
+        if seed_ref is not None:
+            # seed by ABSOLUTE head index: fwd and bwd may pick different
+            # VMEM group sizes, so program_id alone would misalign the bits
+            _seed_prng(seed_ref, pl.program_id(0) * group + g)
+            pv = p * _rng_keep_mask((t, t), rate)
+        else:
+            pv = p if mask_ref is None else p * mask_ref[g]
         o = jax.lax.dot_general(
             (pv / l[:, None]).astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -244,16 +332,20 @@ def _resident_fwd_kernel(bias_ref, *refs, scale: float, group: int):
         lse_ref[g, 0] = m + jnp.log(l)
 
 
-def _resident_bwd_kernel(bias_ref, *refs, scale: float, group: int):
-    # blocks: bias (G, 1, T), [mask (G, T, T)], q/k/v/do/out (G, T, D),
-    #         lse (G, 1, T), dq/dk/dv (G, T, D)
-    if len(refs) == 10:
+def _resident_bwd_kernel(bias_ref, *refs, scale: float, group: int,
+                         rate: float = 0.0):
+    # blocks: bias (G, 1, T), [seed (2,) SMEM | mask (G, T, T)],
+    #         q/k/v/do/out (G, T, D), lse (G, 1, T), dq/dk/dv (G, T, D)
+    seed_ref = mask_ref = None
+    if rate > 0.0:
+        (seed_ref, q_ref, k_ref, v_ref, do_ref, out_ref, lse_ref,
+         dq_ref, dk_ref, dv_ref) = refs
+    elif len(refs) == 10:
         (mask_ref, q_ref, k_ref, v_ref, do_ref, out_ref, lse_ref,
          dq_ref, dk_ref, dv_ref) = refs
     else:
         (q_ref, k_ref, v_ref, do_ref, out_ref, lse_ref,
          dq_ref, dk_ref, dv_ref) = refs
-        mask_ref = None
     f32 = jnp.float32
     for g in range(group):
         q = q_ref[g]
@@ -269,7 +361,13 @@ def _resident_bwd_kernel(bias_ref, *refs, scale: float, group: int):
             preferred_element_type=f32,
         ) * scale + bias[None, :]
         p = jnp.exp(s - lse[:, None])  # normalized probs (T, T)
-        pm = p if mask_ref is None else p * mask_ref[g]
+        dmask = None
+        if seed_ref is not None:
+            _seed_prng(seed_ref, pl.program_id(0) * group + g)
+            dmask = _rng_keep_mask((q.shape[0], q.shape[0]), rate)
+            pm = p * dmask
+        else:
+            pm = p if mask_ref is None else p * mask_ref[g]
         # dV = P~^T dO (dropped+rescaled probs)
         dv = jax.lax.dot_general(
             pm.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -279,7 +377,9 @@ def _resident_bwd_kernel(bias_ref, *refs, scale: float, group: int):
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=f32,
         )
-        if mask_ref is not None:
+        if dmask is not None:
+            dp = dp * dmask
+        elif mask_ref is not None:
             dp = dp * mask_ref[g]
         ds = (p * (dp - delta[:, None])).astype(q.dtype)
         dq = jax.lax.dot_general(
@@ -307,16 +407,21 @@ def _pick_group(n: int, t: int, has_mask: bool, n_bufs: int) -> int:
     return g
 
 
-def _fwd_impl_resident(q, k, v, key_bias, mask, scale, interpret):
+def _fwd_impl_resident(q, k, v, key_bias, mask, seed, rate, scale, interpret):
     n, t, d = q.shape
-    g = _pick_group(n, t, mask is not None, 5)
+    # the seed path generates a (T, T) bits + mask temporary per head:
+    # size the group as if the mask block were an operand
+    g = _pick_group(n, t, mask is not None or rate > 0.0, 5)
     seq = pl.BlockSpec((g, t, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     # bias ships (N, 1, T): Mosaic requires the last two block dims to be
     # (8k, 128k) or the full array dims — (1, T) satisfies that; (G, T) won't
     in_specs = [pl.BlockSpec((g, 1, t), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM)]
     args = [key_bias[:, None, :]]
-    if mask is not None:
+    if rate > 0.0:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(seed)
+    elif mask is not None:
         in_specs.append(
             pl.BlockSpec((g, t, t), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -325,7 +430,8 @@ def _fwd_impl_resident(q, k, v, key_bias, mask, scale, interpret):
     in_specs += [seq, seq, seq]
     args += [q, k, v]
     return pl.pallas_call(
-        functools.partial(_resident_fwd_kernel, scale=scale, group=g),
+        functools.partial(_resident_fwd_kernel, scale=scale, group=g,
+                          rate=rate),
         grid=(n // g,),
         in_specs=in_specs,
         out_specs=[
@@ -344,15 +450,18 @@ def _fwd_impl_resident(q, k, v, key_bias, mask, scale, interpret):
     )(*args)
 
 
-def _bwd_impl_resident(q, k, v, key_bias, mask, out, lse, g_, scale,
-                       interpret):
+def _bwd_impl_resident(q, k, v, key_bias, mask, seed, rate, out, lse, g_,
+                       scale, interpret):
     n, t, d = q.shape
-    g = _pick_group(n, t, mask is not None, 8)
+    g = _pick_group(n, t, mask is not None or rate > 0.0, 8)
     seq = pl.BlockSpec((g, t, d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     in_specs = [pl.BlockSpec((g, 1, t), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM)]
     args = [key_bias[:, None, :]]
-    if mask is not None:
+    if rate > 0.0:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(seed)
+    elif mask is not None:
         in_specs.append(
             pl.BlockSpec((g, t, t), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -363,7 +472,8 @@ def _bwd_impl_resident(q, k, v, key_bias, mask, out, lse, g_, scale,
                               memory_space=pltpu.VMEM)]
     args += [q, k, v, g_, out, lse]
     return pl.pallas_call(
-        functools.partial(_resident_bwd_kernel, scale=scale, group=g),
+        functools.partial(_resident_bwd_kernel, scale=scale, group=g,
+                          rate=rate),
         grid=(n // g,),
         in_specs=in_specs,
         out_specs=[seq, seq, seq],
@@ -379,10 +489,12 @@ def _bwd_impl_resident(q, k, v, key_bias, mask, out, lse, g_, scale,
     )(*args)
 
 
-def _fwd_impl(q, k, v, key_bias, mask, scale, block_q, block_k, interpret):
+def _fwd_impl(q, k, v, key_bias, mask, seed, rate, scale, block_q, block_k,
+              interpret):
     n, t, d = q.shape
     if t <= _resident_max_t():
-        return _fwd_impl_resident(q, k, v, key_bias, mask, scale, interpret)
+        return _fwd_impl_resident(q, k, v, key_bias, mask, seed, rate, scale,
+                                  interpret)
     if t % block_q or t % block_k:
         raise ValueError(f"sequence length {t} must be a multiple of the block size")
     grid = (n, t // block_q)
@@ -390,7 +502,10 @@ def _fwd_impl(q, k, v, key_bias, mask, scale, block_q, block_k, interpret):
         pl.BlockSpec((1, 1, t), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
     ]
     args = [key_bias[:, None, :]]
-    if mask is not None:
+    if rate > 0.0:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(seed)
+    elif mask is not None:
         in_specs.append(
             pl.BlockSpec((1, block_q, t), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM)
@@ -406,7 +521,8 @@ def _fwd_impl(q, k, v, key_bias, mask, scale, block_q, block_k, interpret):
     ]
     args += [q, k, v]
     return pl.pallas_call(
-        functools.partial(_flash_fwd_kernel, block_k=block_k, scale=scale),
+        functools.partial(_flash_fwd_kernel, block_k=block_k, scale=scale,
+                          rate=rate),
         grid=grid,
         in_specs=in_specs,
         out_specs=[
@@ -423,12 +539,12 @@ def _fwd_impl(q, k, v, key_bias, mask, scale, block_q, block_k, interpret):
     )(*args)
 
 
-def _bwd_impl(q, k, v, key_bias, mask, out, lse, g, scale, block_q, block_k,
-              interpret):
+def _bwd_impl(q, k, v, key_bias, mask, seed, rate, out, lse, g, scale,
+              block_q, block_k, interpret):
     n, t, d = q.shape
     if t <= _resident_max_t():
-        return _bwd_impl_resident(q, k, v, key_bias, mask, out, lse, g,
-                                  scale, interpret)
+        return _bwd_impl_resident(q, k, v, key_bias, mask, seed, rate, out,
+                                  lse, g, scale, interpret)
     interpret = _resolve_interpret(interpret)
     bias3 = key_bias[:, None, :]
     # delta_i = rowsum(dO_i * O_i), cheap elementwise reduce left to XLA.
@@ -446,7 +562,10 @@ def _bwd_impl(q, k, v, key_bias, mask, out, lse, g, scale, block_q, block_k,
 
     dq_specs = [stat_full]
     dq_args = [bias3]
-    if mask is not None:
+    if rate > 0.0:
+        dq_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        dq_args.append(seed)
+    elif mask is not None:
         dq_specs.append(
             pl.BlockSpec((1, block_q, t), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM)
@@ -455,7 +574,8 @@ def _bwd_impl(q, k, v, key_bias, mask, out, lse, g, scale, block_q, block_k,
     dq_specs += [row_blk_q, seq_ref, seq_ref, row_blk_q, stat_blk_q, stat_blk_q]
     dq_args += [q, k, v, g, lse, delta]
     dq = pl.pallas_call(
-        functools.partial(_flash_bwd_dq_kernel, block_k=block_k, scale=scale),
+        functools.partial(_flash_bwd_dq_kernel, block_k=block_k, scale=scale,
+                          rate=rate),
         grid=(n, t // block_q),
         in_specs=dq_specs,
         out_specs=row_blk_q,
@@ -469,7 +589,10 @@ def _bwd_impl(q, k, v, key_bias, mask, out, lse, g, scale, block_q, block_k,
                               memory_space=pltpu.VMEM)
     dkv_specs = [bias_blk_k]
     dkv_args = [bias3]
-    if mask is not None:
+    if rate > 0.0:
+        dkv_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        dkv_args.append(seed)
+    elif mask is not None:
         # column block of the (N, Tq, Tk) mask: all q rows, this k block
         dkv_specs.append(
             pl.BlockSpec((1, t, block_k), lambda b, i: (b, 0, i),
@@ -479,7 +602,8 @@ def _bwd_impl(q, k, v, key_bias, mask, out, lse, g, scale, block_q, block_k,
     dkv_specs += [seq_ref, row_blk_k, row_blk_k, seq_ref, stat_full, stat_full]
     dkv_args += [q, k, v, g, lse, delta]
     dk, dv = pl.pallas_call(
-        functools.partial(_flash_bwd_dkv_kernel, block_q=block_q, scale=scale),
+        functools.partial(_flash_bwd_dkv_kernel, block_q=block_q, scale=scale,
+                          rate=rate),
         grid=(n, t // block_k),
         in_specs=dkv_specs,
         out_specs=[row_blk_k, row_blk_k],
@@ -492,34 +616,38 @@ def _bwd_impl(q, k, v, key_bias, mask, out, lse, g, scale, block_q, block_k,
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
-def _flash_attention(q, k, v, key_bias, mask, scale, block_q, block_k,
-                     interpret, has_dropout):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def _flash_attention(q, k, v, key_bias, mask, seed, scale, block_q, block_k,
+                     interpret, has_dropout, rate):
     out, _ = _fwd_impl(q, k, v, key_bias, mask if has_dropout else None,
-                       scale, block_q, block_k, interpret)
+                       seed, rate, scale, block_q, block_k, interpret)
     return out
 
 
-def _flash_attention_fwd(q, k, v, key_bias, mask, scale, block_q, block_k,
-                         interpret, has_dropout):
+def _flash_attention_fwd(q, k, v, key_bias, mask, seed, scale, block_q,
+                         block_k, interpret, has_dropout, rate):
     out, lse = _fwd_impl(q, k, v, key_bias, mask if has_dropout else None,
-                         scale, block_q, block_k, interpret)
-    return out, (q, k, v, key_bias, mask, out, lse)
+                         seed, rate, scale, block_q, block_k, interpret)
+    return out, (q, k, v, key_bias, mask, seed, out, lse)
 
 
 def _flash_attention_bwd(scale, block_q, block_k, interpret, has_dropout,
-                         res, g):
-    q, k, v, key_bias, mask, out, lse = res
+                         rate, res, g):
+    q, k, v, key_bias, mask, seed, out, lse = res
     dq, dk, dv = _bwd_impl(q, k, v, key_bias, mask if has_dropout else None,
-                           out, lse, g, scale, block_q, block_k, interpret)
-    return dq, dk, dv, jnp.zeros_like(key_bias), jnp.zeros_like(mask)
+                           seed, rate, out, lse, g, scale, block_q, block_k,
+                           interpret)
+    return (dq, dk, dv, jnp.zeros_like(key_bias), jnp.zeros_like(mask),
+            jnp.zeros_like(seed))
 
 
 _flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+    jax.jit,
+    static_argnames=("scale", "block_q", "block_k", "interpret",
+                     "dropout_rate"),
 )
 def flash_attention(
     q: jax.Array,  # (N, T, D)
@@ -531,13 +659,31 @@ def flash_attention(
     block_k: int = 128,
     interpret: bool | None = None,
     dropout_mask: jax.Array | None = None,  # (N, T, T) entries 0 or 1/keep
+    dropout_rate: float = 0.0,  # in-kernel PRNG dropout (TPU lowering only)
+    dropout_seed: jax.Array | None = None,  # (2,) int32, with dropout_rate
 ) -> jax.Array:
+    """dropout_mask and (dropout_rate, dropout_seed) are mutually exclusive:
+    the former streams an explicit pre-scaled mask through the kernels
+    (works everywhere, testable against an eager reference), the latter
+    regenerates the mask inside each kernel from the seed and the tile
+    coordinates (TPU Mosaic only — no interpret-mode prng_seed rule)."""
+    dummy_seed = jnp.zeros((2,), jnp.int32)
+    if dropout_rate > 0.0:
+        if dropout_mask is not None:
+            raise ValueError("pass dropout_mask or dropout_rate, not both")
+        if dropout_seed is None:
+            raise ValueError("dropout_rate needs dropout_seed")
+        dummy = jnp.zeros((1, 1, 1), q.dtype)
+        return _flash_attention(q, k, v, key_bias, dummy,
+                                dropout_seed.astype(jnp.int32), scale,
+                                block_q, block_k, interpret, False,
+                                float(dropout_rate))
     if dropout_mask is None:
         dummy = jnp.zeros((1, 1, 1), q.dtype)
-        return _flash_attention(q, k, v, key_bias, dummy, scale, block_q,
-                                block_k, interpret, False)
-    return _flash_attention(q, k, v, key_bias, dropout_mask, scale, block_q,
-                            block_k, interpret, True)
+        return _flash_attention(q, k, v, key_bias, dummy, dummy_seed, scale,
+                                block_q, block_k, interpret, False, 0.0)
+    return _flash_attention(q, k, v, key_bias, dropout_mask, dummy_seed,
+                            scale, block_q, block_k, interpret, True, 0.0)
 
 
 def mha_flash(
@@ -576,16 +722,30 @@ def mha_flash(
         return jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, tp, dh)
 
     mask = None
+    seed = None
+    rate = 0.0
     if dropout_rate > 0.0 and dropout_rng is not None:
-        keep = 1.0 - dropout_rate
-        mask = jax.random.bernoulli(
-            dropout_rng, keep, (b * h, tp, tp)
-        ).astype(q.dtype) / jnp.asarray(keep, q.dtype)
+        if jax.default_backend() == "tpu":
+            # in-kernel PRNG dropout: no (N, T, T) mask generation or HBM
+            # traffic; seed words derived from the layer's dropout key
+            kd = dropout_rng
+            if jax.dtypes.issubdtype(kd.dtype, jax.dtypes.prng_key):
+                kd = jax.random.key_data(kd)
+            seed = jax.lax.bitcast_convert_type(
+                kd.reshape(-1)[-2:], jnp.int32
+            )
+            rate = float(dropout_rate)
+        else:
+            keep = 1.0 - dropout_rate
+            mask = jax.random.bernoulli(
+                dropout_rng, keep, (b * h, tp, tp)
+            ).astype(q.dtype) / jnp.asarray(keep, q.dtype)
 
     out = flash_attention(
         to_rows(q), to_rows(k), to_rows(v),
         jnp.repeat(bias, h, axis=0), scale=scale,
         block_q=block, block_k=block, dropout_mask=mask,
+        dropout_rate=rate, dropout_seed=seed,
     )
     out = out.reshape(b, h, tp, dh).transpose(0, 2, 1, 3)
     return out[:, :t]

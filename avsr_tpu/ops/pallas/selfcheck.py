@@ -127,3 +127,103 @@ def check_serving_kernels() -> None:
     np.testing.assert_allclose(
         np.asarray(out_t), np.asarray(out_i), rtol=2e-2, atol=2e-2
     )
+
+
+def check_train_kernels() -> None:
+    """Device property checks for the flash-attention in-kernel dropout.
+
+    The seed path (pltpu.prng_seed + prng_random_bits) has no interpret
+    rule, so the check EXTRACTS the kernel's actual keep mask — with
+    q = k = 0 attention is uniform (p = 1/T), so probing with V = T x
+    identity blocks returns the pre-scaled mask entries directly — and
+    compares forward output and all three gradients against an exact XLA
+    eager reference driven by that mask. The mask is value-independent
+    (seeded only by head/tile coordinates), which is itself verified via
+    a linearity-in-V check. Also checks determinism and keep statistics.
+    Run on a real TPU (tools/kernel_smoke, bench_train).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from avsr_tpu.ops.pallas.flash_attention import flash_attention
+
+    if jax.default_backend() == "cpu":
+        return  # nothing to check: CPU uses the materialized-mask path
+
+    rng = np.random.RandomState(7)
+    rate = 0.3
+    seed = jnp.asarray([123, 456], jnp.int32)
+    for t in (256, 640):  # resident path and streaming path
+        n, d = 16, 64
+        q = jnp.asarray(rng.randn(n, t, d).astype(np.float32) * 0.3)
+        k = jnp.asarray(rng.randn(n, t, d).astype(np.float32) * 0.3)
+        v = jnp.asarray(rng.randn(n, t, d).astype(np.float32))
+        bias = jnp.zeros((n, t), jnp.float32)
+        f = jax.jit(lambda q, k, v: flash_attention(
+            q, k, v, bias, scale=d ** -0.5, dropout_rate=rate,
+            dropout_seed=seed, interpret=False,
+        ))
+        out1 = np.asarray(f(q, k, v))
+        out2 = np.asarray(f(q, k, v))
+        np.testing.assert_array_equal(out1, out2, err_msg="nondeterministic")
+        out_2v = np.asarray(f(q, k, 2.0 * v))
+        np.testing.assert_allclose(out_2v, 2.0 * out1, rtol=1e-5, atol=1e-5,
+                                   err_msg="mask not value-independent")
+        # dropout must actually drop: with all-ones V and uniform attention
+        # the output deviates from 1 unless every entry was kept
+        ones = np.asarray(f(jnp.zeros_like(q), jnp.zeros_like(k),
+                            jnp.ones_like(v)))
+        assert abs(float(ones.mean()) - 1.0) < 0.02, "keep-rate mean off"
+        assert float(ones.std()) > 1e-3, "no dropout applied"
+
+        # extract the kernel's actual mask: uniform attention (q = k = 0)
+        # turns the output into (1/T) * M @ V, so V = T x identity blocks
+        # reads M out column-block by column-block
+        zq = jnp.zeros_like(q)
+        cols = []
+        eye = np.eye(d, dtype=np.float32) * t
+        for j0 in range(0, t, d):
+            vb = np.zeros((n, t, d), np.float32)
+            vb[:, j0:j0 + d, :] = eye
+            cols.append(np.asarray(f(zq, zq, jnp.asarray(vb))))
+        mask = np.concatenate(cols, axis=2)  # (n, t, t) entries 0 or 1/keep
+        frac = (mask > 0).mean()
+        assert abs(frac - (1.0 - rate)) < 0.01, f"keep fraction {frac}"
+
+        # exact eager reference driven by the extracted mask: forward and
+        # all three grads must match the kernel path (fwd/bwd kernels that
+        # disagree on even one tile's bits fail loudly here)
+        w = jnp.asarray(rng.randn(n, t, d).astype(np.float32))
+        mask_j = jnp.asarray(mask)
+
+        def eager_loss(q, k, v):
+            s = jnp.einsum("nqd,nkd->nqk", q, k) * (d ** -0.5)
+            p = jax.nn.softmax(s, axis=-1)
+            return jnp.vdot(jnp.einsum("nqk,nkd->nqd", p * mask_j, v), w)
+
+        def kern_loss(q, k, v):
+            return jnp.vdot(
+                flash_attention(q, k, v, bias, scale=d ** -0.5,
+                                dropout_rate=rate, dropout_seed=seed,
+                                interpret=False), w)
+
+        # forward: elementwise (the scalar loss is a large cancelling sum —
+        # ill-conditioned for comparison)
+        def eager_out(q, k, v):
+            s = jnp.einsum("nqd,nkd->nqk", q, k) * (d ** -0.5)
+            p = jax.nn.softmax(s, axis=-1)
+            return jnp.einsum("nqk,nkd->nqd", p * mask_j, v)
+
+        # tolerances: fp32 XLA softmax vs in-kernel exp/max rounding — a
+        # single wrong mask bit would show up as an O(p*v) ~ 0.1-1 error
+        np.testing.assert_allclose(
+            out1, np.asarray(jax.jit(eager_out)(q, k, v)),
+            rtol=2e-2, atol=2e-3, err_msg="fwd vs eager+mask",
+        )
+        got = jax.jit(jax.grad(kern_loss, argnums=(0, 1, 2)))(q, k, v)
+        want = jax.jit(jax.grad(eager_loss, argnums=(0, 1, 2)))(q, k, v)
+        for name, g_got, g_want in zip("qkv", got, want):
+            np.testing.assert_allclose(
+                np.asarray(g_got), np.asarray(g_want), rtol=5e-2, atol=5e-3,
+                err_msg=f"d{name} vs eager+mask",
+            )

@@ -22,11 +22,16 @@ def main() -> None:
     import jax
 
     from avsr_tpu.core.cache import enable_compilation_cache
-    from avsr_tpu.ops.pallas.selfcheck import check_serving_kernels
+    from avsr_tpu.ops.pallas.selfcheck import (
+        check_serving_kernels,
+        check_train_kernels,
+    )
 
     enable_compilation_cache()
     print(f"device: {jax.devices()[0]}", flush=True)
     check_serving_kernels()
+    print("serving kernels OK", flush=True)
+    check_train_kernels()
     print("ALL KERNELS OK", flush=True)
 
 
