@@ -255,12 +255,14 @@ def run_training(
     state_sh = T.train_state_shardings(state, mesh)
     if loop_cfg.grad_accum > 1:
         step_fn = T.make_parallel_accum_train_step(
-            model, tx, mesh, tcfg.compute_dtype, state_sh
+            model, tx, mesh, tcfg.compute_dtype, state_sh,
+            rng_impl=tcfg.rng_impl,
         )
         put = shard_accum_batch
     else:
         step_fn = T.make_parallel_train_step(
-            model, tx, mesh, tcfg.compute_dtype, state_sh
+            model, tx, mesh, tcfg.compute_dtype, state_sh,
+            rng_impl=tcfg.rng_impl,
         )
         put = shard_batch
     eval_fn = T.make_parallel_eval_step(model, mesh, tcfg.compute_dtype, state_sh)

@@ -43,6 +43,11 @@ class TrainConfig:
     # weights and fp32 optimizer state (the reference trains fp16 AMP;
     # bfloat16 is the TPU equivalent and needs no loss scaling)
     compute_dtype: str = "float32"
+    # PRNG impl for the in-step dropout/modality keys: 'rbg' lowers mask
+    # generation to the hardware RngBitGenerator (threefry is VPU-bound on
+    # TPU — measured ~40x slower per mask); 'threefry' keeps the JAX
+    # default for bit-level reproducibility across backends
+    rng_impl: str = "rbg"
 
 
 class TrainState(NamedTuple):
@@ -180,8 +185,23 @@ def loss_fn(model, params, batch_stats, batch, rngs, train: bool = True,
     return out.loss, (metrics, new_stats)
 
 
+def _as_impl_key(key, impl: str):
+    """Re-derive `key` under a PRNG impl (deterministic in the input key)."""
+    kd = key
+    if jax.dtypes.issubdtype(kd.dtype, jax.dtypes.prng_key):
+        if jax.random.key_impl(kd) == jax.random.key_impl(
+            jax.random.key(0, impl=impl)
+        ):
+            return kd
+        kd = jax.random.key_data(kd)
+    kd = kd.reshape(-1).astype(jnp.uint32)
+    words = jnp.concatenate([kd, kd + jnp.uint32(0x9E3779B9)])
+    n = jax.random.key_data(jax.random.key(0, impl=impl)).shape[-1]
+    return jax.random.wrap_key_data(words[:n], impl=impl)
+
+
 def train_step(model, tx, state: TrainState, batch, rng,
-               compute_dtype: str = "float32"):
+               compute_dtype: str = "float32", rng_impl: str = "rbg"):
     """One optimizer update; batch leading dim may include accum microbatches.
 
     batch tensors: (accum, B, ...) when grad_accum > 1 else (B, ...).
@@ -189,6 +209,7 @@ def train_step(model, tx, state: TrainState, batch, rng,
     accum = batch["videos"].ndim > 5  # (A, B, T, H, W, C)
 
     def grads_of(p, stats, mb, key):
+        key = _as_impl_key(key, rng_impl)
         rngs = {"dropout": key, "modality": jax.random.fold_in(key, 1)}
         (loss, (metrics, new_stats)), grads = jax.value_and_grad(
             lambda pp: loss_fn(model, pp, stats, mb, rngs,
@@ -301,7 +322,7 @@ def train_state_shardings(state: TrainState, mesh) -> TrainState:
 
 
 def make_parallel_train_step(model, tx, mesh, compute_dtype: str = "float32",
-                             state_shardings=None):
+                             state_shardings=None, rng_impl: str = "rbg"):
     """Jit the train step sharded over `mesh` (DP batch axis; TP parameter
     axis when state_shardings carry 'model'-sharded kernels)."""
     repl = NamedSharding(mesh, P())
@@ -315,13 +336,14 @@ def make_parallel_train_step(model, tx, mesh, compute_dtype: str = "float32",
         donate_argnums=(0,),
     )
     def step(state, batch, rng):
-        return train_step(model, tx, state, batch, rng, compute_dtype)
+        return train_step(model, tx, state, batch, rng, compute_dtype,
+                          rng_impl=rng_impl)
 
     return step
 
 
 def make_parallel_accum_train_step(model, tx, mesh, compute_dtype: str = "float32",
-                                   state_shardings=None):
+                                   state_shardings=None, rng_impl: str = "rbg"):
     """Same, but batches carry a leading micro-batch (accum) dimension."""
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(None, DATA_AXIS))
@@ -334,7 +356,8 @@ def make_parallel_accum_train_step(model, tx, mesh, compute_dtype: str = "float3
         donate_argnums=(0,),
     )
     def step(state, batch, rng):
-        return train_step(model, tx, state, batch, rng, compute_dtype)
+        return train_step(model, tx, state, batch, rng, compute_dtype,
+                          rng_impl=rng_impl)
 
     return step
 

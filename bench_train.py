@@ -75,11 +75,12 @@ def main() -> None:
     if args.accum > 1:
         from avsr_tpu.core.mesh import shard_accum_batch
         step_fn = T.make_parallel_accum_train_step(
-            model, tx, mesh, tcfg.compute_dtype, st_sh)
+            model, tx, mesh, tcfg.compute_dtype, st_sh, rng_impl=tcfg.rng_impl)
         device_batch = shard_accum_batch(batch, mesh)
         state = T.replicate_state(state, mesh)
     else:
-        step_fn = T.make_parallel_train_step(model, tx, mesh, tcfg.compute_dtype, st_sh)
+        step_fn = T.make_parallel_train_step(model, tx, mesh, tcfg.compute_dtype, st_sh,
+                                             rng_impl=tcfg.rng_impl)
         state = T.replicate_state(state, mesh)
         device_batch = shard_batch(batch, mesh)
     key = jax.random.PRNGKey(1)
