@@ -52,8 +52,11 @@ class AVHubertEncoderConfig:
     # rematerialization of the scanned encoder layer in the backward pass:
     # "none" saves every layer's intermediates (fastest per step, OOMs past
     # per-chip batch ~8 at T=384 on 16 GB HBM), "dots" saves matmul outputs
-    # only, "full" recomputes the whole layer body (max batch headroom at
-    # +1/3 encoder FLOPs) — the jax.checkpoint memory/FLOPs trade.
+    # only (crashes the v5e TPU worker as of round 3 — libtpu fault),
+    # "full" recomputes the whole layer body (max batch headroom at +1/3
+    # encoder FLOPs), "ffn" is full except the two (B, T, 4096) FFN tensors
+    # whose erf-GELU recompute dominates full's backward fusions — the
+    # jax.checkpoint memory/FLOPs trade.
     scan_remat: str = "none"
 
     @property

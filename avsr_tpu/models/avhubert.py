@@ -22,6 +22,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from avsr_tpu.core.config import AVHubertEncoderConfig
 from avsr_tpu.models.resnet import ResEncoder
@@ -148,8 +149,13 @@ class EncoderLayer(nn.Module):
         residual = x
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="final_layer_norm")(x)
         h = nn.Dense(c.intermediate_size, name="intermediate_dense")(h)
+        # names for scan_remat='ffn' (save_only_these_names): the exact-GELU
+        # erf chain is what makes full-remat's backward FFN fusions ~4x off
+        # the MXU ideal when recomputed fused into the wgrad/dgrad matmuls
+        h = checkpoint_name(h, "enc_ffn_pre")
         h = jax.nn.gelu(h, approximate=False)
         h = nn.Dropout(c.activation_dropout, deterministic=deterministic)(h)
+        h = checkpoint_name(h, "enc_ffn_act")
         h = nn.Dense(c.encoder_embed_dim, name="output_dense")(h)
         h = nn.Dropout(c.hidden_dropout, deterministic=deterministic)(h)
         return residual + h
@@ -200,11 +206,26 @@ class AVHubertTransformer(nn.Module):
             # trade backward-pass memory for recompute so large per-chip
             # batches fit HBM: without remat the scan stacks every layer's
             # saved intermediates (24 x O(B*T*D) buffers at flagship scale)
-            policy = (
-                None
-                if remat == "full"
-                else jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-            )
+            if remat == "full":
+                policy = None
+            elif remat == "ffn":
+                # save only the post-dropout FFN activation ((B, T, 4096)
+                # bf16 per layer): the W2 wgrad — the worst backward fusion
+                # under 'full', ~4x off MXU ideal with the erf-GELU chain
+                # fused in — then reads it instead of recomputing. Saving
+                # the pre-activation too (for the dgrad's gelu') OOMs 16 GB
+                # HBM at B=24 by ~280 MB. Measured same-window at B=24:
+                # slightly SLOWER than 'full' (43.6 vs 45.4 samples/s) —
+                # stacking 24 x 75.5 MB through the scan costs more HBM
+                # traffic than the recompute it avoids; kept as an option
+                # for shapes where the trade flips
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "enc_ffn_act"
+                )
+            else:  # 'dots' (NOTE: crashes the v5e TPU worker as of round 3)
+                policy = (
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                )
             body = nn.remat(
                 body, prevent_cse=False, policy=policy, static_argnums=(4,)
             )

@@ -67,7 +67,7 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=6)
     ap.add_argument("--frames", type=int, default=384)
     ap.add_argument("--labels", type=int, default=48)
-    ap.add_argument("--remat", default="none", choices=["none", "dots", "full"])
+    ap.add_argument("--remat", default="none", choices=["none", "dots", "full", "ffn"])
     ap.add_argument("--unroll", type=int, default=1)
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--top", type=int, default=30)
