@@ -32,15 +32,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Semaphore ring size. TPU scratch-flag (semaphore) memory is tiny — 2 KB on
+# v5e, i.e. 512 s32 semaphores TOTAL per program — so one semaphore per row
+# stops compiling at n=768 (B=64 decode: "Allocation (size=3072) would exceed
+# memory (size=2048), space=sflag"). A fixed ring keeps >=_RING copies in
+# flight (far beyond DMA-queue depth) with bounded sflag use.
+_RING = 128
+
+
 def _kernel(blk_ref, src_ref, out_ref, sems, *, n: int):
+    ring = min(n, _RING)
+
     def copy(i):
         return pltpu.make_async_copy(
             src_ref.at[pl.ds(blk_ref[i] * 8, 8), :],
             out_ref.at[pl.ds(i * 8, 8), :],
-            sems.at[i],
+            sems.at[i % ring],
         )
 
     def issue(i, carry):
+        # reuse sem i%ring: first retire the copy `ring` slots back
+        @pl.when(i >= ring)
+        def _():
+            copy(i - ring).wait()
+
         copy(i).start()
         return carry
 
@@ -50,7 +65,7 @@ def _kernel(blk_ref, src_ref, out_ref, sems, *, n: int):
         copy(i).wait()
         return carry
 
-    jax.lax.fori_loop(0, n, wait, 0, unroll=True)
+    jax.lax.fori_loop(max(0, n - ring), n, wait, 0, unroll=True)
 
 
 def row_gather(src: jax.Array, idx: jax.Array, interpret: bool | None = None) -> jax.Array:
@@ -79,7 +94,7 @@ def row_gather(src: jax.Array, idx: jax.Array, interpret: bool | None = None) ->
             grid=(1,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-            scratch_shapes=[pltpu.SemaphoreType.DMA((n,))],
+            scratch_shapes=[pltpu.SemaphoreType.DMA((min(n, _RING),))],
         ),
         out_shape=jax.ShapeDtypeStruct((n * 8, c), src.dtype),
     )(idx // 8, src).reshape(n, 8, c)

@@ -36,6 +36,18 @@ def check_serving_kernels() -> None:
     v_i, i_i = topk_lastdim(np.asarray(xf), 3, interpret=True)
     np.testing.assert_array_equal(np.asarray(i_t), np.asarray(i_i))
 
+    # --- row_gather (n > _RING exercises the bounded semaphore ring) ---
+    from avsr_tpu.ops.pallas.row_gather import _RING, row_gather
+
+    src = jnp.asarray(rng.randn(4096, 384).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, 4096, size=(_RING + 72,)).astype(np.int32))
+    got_rows = jax.jit(lambda s, i: row_gather(s, i, interpret=not on_accel))(
+        src, idx
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got_rows), np.asarray(src)[np.asarray(idx)]
+    )
+
     # --- beam_update (lazy + ctc, serving config) ---
     from avsr_tpu.ops.pallas.beam_update import beam_update
 
