@@ -36,6 +36,65 @@ def test_smooth_video_delta_is_small():
     assert np.abs(body).max() <= 7
 
 
+def test_delta2_roundtrip_and_compressibility():
+    """delta2 (zigzag + nibble-plane) is bit-exact and strictly more
+    zlib-compressible than plain delta on smooth video."""
+    import zlib
+
+    from avsr_tpu.data.wire import delta2_decode_video, delta2_encode_video
+
+    rng = np.random.RandomState(0)
+    # random video: exactness must hold unconditionally
+    vid = rng.randint(0, 256, size=(2, 9, 8, 8, 1), dtype=np.uint8)
+    enc = delta2_encode_video(vid)
+    assert enc.shape == vid.shape and enc.dtype == np.uint8
+    np.testing.assert_array_equal(np.asarray(delta2_decode_video(enc)), vid)
+    # textured-crop regime (static high-frequency texture + smooth motion,
+    # several-gray-level deltas — the measured LRS2 mouth-ROI statistics):
+    # nibble-plane layout beats plain delta. On ultra-smooth (|d|<=2) or
+    # iid-noise content it loses slightly — hence delta2 is opt-in per
+    # payload, not the default.
+    t = np.arange(96)
+    keys = np.kron(rng.randn(18, 11, 11), np.ones((1, 8, 8)))[:, :88, :88]
+    i0 = t // 6
+    w = (t / 6 - i0)[:, None, None]
+    frames = keys[i0] * (1 - w) + keys[i0 + 1] * w
+    texture = rng.randn(1, 88, 88) * 10.0
+    smooth = (128 + 16 * frames + texture).clip(0, 255).astype(np.uint8)
+    smooth = smooth[None, ..., None]
+    from avsr_tpu.data.wire import delta_encode_video as d1
+
+    np.testing.assert_array_equal(
+        np.asarray(delta2_decode_video(delta2_encode_video(smooth))), smooth
+    )
+    z1 = len(zlib.compress(d1(smooth).tobytes(), 1))
+    z2 = len(zlib.compress(delta2_encode_video(smooth).tobytes(), 1))
+    assert z2 < z1
+
+
+def test_bf16_audio_upload_matches_device_cast():
+    """encode_dtype='bfloat16' uploads bf16 features — bit-identical to
+    uploading fp32 and casting on device (round-to-nearest-even both)."""
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from avsr_tpu.decode.recognizer import Recognizer
+
+    rec = Recognizer(
+        model=None, variables=None, cfg=None, encode_dtype="bfloat16",
+        t_buckets=(16,),
+    )
+    rng = np.random.RandomState(0)
+    a = rng.randn(12, 104).astype(np.float32) * 37.5
+    v = rng.randint(0, 256, size=(12, 88, 88, 1), dtype=np.uint8)
+    aud, _, _, _ = rec._pad_batch([a], [v])
+    assert aud.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(aud[0, :12]).view(np.uint16),
+        a.astype(ml_dtypes.bfloat16).view(np.uint16),
+    )
+
+
 def test_recognizer_wire_equivalence():
     """delta vs raw uint8 wire produce identical transcripts."""
     from avsr_tpu.core.config import AVHubertAVSRConfig, AVHubertEncoderConfig
@@ -67,14 +126,15 @@ def test_recognizer_wire_equivalence():
         for _ in range(2)
     ]
     outs = {}
-    for wire in ("uint8", "delta"):
+    for wire in ("uint8", "delta", "delta2"):
         rec = Recognizer(
             model=model, variables=variables, cfg=cfg, beam_size=2,
             t_buckets=(16,), video_wire=wire,
         )
         outs[wire] = rec.transcribe_batch(feats_a, feats_v, mode="beam")
-    for a, b in zip(outs["uint8"], outs["delta"]):
-        np.testing.assert_array_equal(a, b)
+    for wire in ("delta", "delta2"):
+        for a, b in zip(outs["uint8"], outs[wire]):
+            np.testing.assert_array_equal(a, b)
 
 
 def rng_key():
