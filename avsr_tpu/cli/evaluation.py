@@ -56,8 +56,10 @@ class InferenceEngine:
         cache_dir: Optional[str] = None,
         beam_size: int = 3,
         max_length: int = 15,
-        batch_size: int = 16,  # B=16 amortizes per-step beam-loop cost best
-        # (device trace: 16 utt / 1.30 ms/step vs 8 / 0.78 — +20% audio/s)
+        batch_size: int = 32,  # measured-best serving batch: scaling is
+        # monotone since the prefix-bounded decode kernel + wire codec
+        # (B=16: 255.5 vs B=32: 287.3 audio-s/s, BASELINE 2026-08-17), and
+        # B=64 compiles clean if sweeps want it
         mode: str = "beam",
         model_kwargs: Optional[Dict] = None,
         max_decode_tokens: int = 192,
@@ -270,6 +272,8 @@ class InferenceEngine:
 
     def infer_samples(self, samples: List[Dict]) -> List[str]:
         """Decode a list of segment samples; returns transcripts."""
+        if self.model_type != "muavic_en":
+            return self._infer_samples_pipelined(samples)
         outputs = []
         pending = None
         for lo in range(0, len(samples), self.batch_size):
@@ -298,39 +302,59 @@ class InferenceEngine:
                     self.tokenizer.decode(t).upper() for t in token_batches
                 )
                 continue
-            auds = [np.asarray(a)[: l * self.recognizer.audio_rate] for a, _, l in feats]
-            vids = [np.asarray(v)[:l] for _, v, l in feats]
-            # pipelined dispatch: the next chunk collates/transfers while
-            # this one decodes on device. `pending` belongs to the PREVIOUS
-            # chunk, so failures must be attributed to the chunk stored with
-            # the future, not the one just submitted.
-            try:
-                nxt = self.recognizer.transcribe_batch_async(
-                    auds, vids, mode=self.mode, batch_pad=self.batch_size
-                )
-            except Exception as e:
-                for s in chunk:
-                    print(f"Error during inference for {self._segment_context(s)}")
-                raise e
-            if pending is not None:
-                fut, fut_chunk = pending
+        return outputs
+
+    def _infer_samples_pipelined(self, samples: List[Dict]) -> List[str]:
+        """Recognizer path: a producer thread collates + dispatches upcoming
+        chunks so multiple host->device uploads stay in flight while the
+        device decodes. With one batch in flight a degraded link serializes
+        upload behind compute (BASELINE 2026-08-18: wall 119 vs device 533
+        audio-s/s in a bad tunnel window); depth-2 staging makes wall track
+        max(upload, compute) instead of their sum.
+        """
+        import queue as _queue
+        import threading as _threading
+
+        chunks = [
+            samples[lo : lo + self.batch_size]
+            for lo in range(0, len(samples), self.batch_size)
+        ]
+        staged: "_queue.Queue" = _queue.Queue(maxsize=2)
+
+        def producer() -> None:
+            for chunk in chunks:
+                try:
+                    feats = self._features(chunk)
+                    auds = [
+                        np.asarray(a)[: l * self.recognizer.audio_rate]
+                        for a, _, l in feats
+                    ]
+                    vids = [np.asarray(v)[:l] for _, v, l in feats]
+                    fut = self.recognizer.transcribe_batch_async(
+                        auds, vids, mode=self.mode, batch_pad=self.batch_size
+                    )
+                except Exception as e:  # attributed + re-raised by the consumer
+                    staged.put((None, chunk, e))
+                    return
+                staged.put((fut, chunk, None))
+
+        worker = _threading.Thread(target=producer, daemon=True)
+        worker.start()
+        outputs: List[str] = []
+        for _ in range(len(chunks)):
+            fut, chunk, err = staged.get()
+            # per-segment error context so one bad file in a long sweep is
+            # attributable (reference script/evaluation.py:290-294,316-320)
+            if err is None:
                 try:
                     outputs.extend(self._decode_tokens(t) for t in fut.result())
+                    continue
                 except Exception as e:
-                    for s in fut_chunk:
-                        print(
-                            f"Error during inference for {self._segment_context(s)}"
-                        )
-                    raise e
-            pending = (nxt, chunk)
-        if pending is not None:
-            fut, fut_chunk = pending
-            try:
-                outputs.extend(self._decode_tokens(t) for t in fut.result())
-            except Exception as e:
-                for s in fut_chunk:
-                    print(f"Error during inference for {self._segment_context(s)}")
-                raise e
+                    err = e
+            for s in chunk:
+                print(f"Error during inference for {self._segment_context(s)}")
+            raise err
+        worker.join()
         return outputs
 
     def infer_processed_sample(self, video) -> str:
@@ -485,11 +509,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--max_decode_tokens", type=int, default=192,
                         help="self-KV buffer cap in tokens (0 = uncapped, "
                         "reference-exact frame-count-sized buffer)")
-    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--batch_size", type=int, default=32,
+                        help="segments decoded concurrently per device "
+                             "program (measured-best: 32; see BASELINE.md)")
     parser.add_argument("--video_wire", type=str, default="delta",
-                        choices=["delta", "uint8"],
-                        help="crop upload codec: lossless temporal delta "
-                             "(data/wire.py) or raw uint8")
+                        choices=["delta", "delta2", "uint8"],
+                        help="crop upload codec: lossless temporal delta, "
+                             "delta + zigzag nibble-plane pack (better on "
+                             "textured crops; see data/wire.py), or raw uint8")
     parser.add_argument("--decode_mode", type=str, default="beam",
                         choices=["beam", "greedy"])
     parser.add_argument("--encode_dtype", type=str, default="float32",
