@@ -135,28 +135,13 @@ def main():
         train_samples = shard_for_host(train_ds)
         valid_fn = lambda: valid_ds  # noqa: E731
 
-        import functools
+        from avsr_tpu.data.dataset import InterfererPool
 
-        @functools.lru_cache(maxsize=256)
-        def _decode_interferer(idx: int):
-            # Each draw used to ffmpeg-decode a full mp4 through a temp file
-            # on the data-plane critical path; interferer utterances are
-            # reused constantly (SNR mixing draws 0-2 per sample), so cache
-            # the decoded waveforms. 256 entries of a few seconds of fp32
-            # 16 kHz audio is ~100 MB of host RAM.
-            import tempfile
-
-            from avsr_tpu.data import media
-
-            sample = interferer_ds[idx]
-            with tempfile.NamedTemporaryFile(suffix=".mp4") as f:
-                f.write(sample["video"])
-                f.flush()
-                return media.load_audio(f.name)
-
-        def interferer(rng):
-            idx = rng.randint(len(interferer_ds))
-            return _decode_interferer(int(idx))
+        # draws come from a rotating pool of pre-decoded waveforms (a
+        # background thread keeps swapping in freshly decoded utterances);
+        # the critical path never runs an ffmpeg decode. 256 entries of a
+        # few seconds of fp32 16 kHz audio is ~100 MB of host RAM.
+        interferer = InterfererPool(interferer_ds, size=256)
 
     collator = DataCollator(
         text_transform=text_transform,

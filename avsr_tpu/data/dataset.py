@@ -13,8 +13,10 @@ backends.
 
 from __future__ import annotations
 
+import queue
+import threading
 import time
-from typing import Dict, Iterator, Optional
+from typing import Callable, Dict, Iterator, Optional
 
 import numpy as np
 
@@ -103,6 +105,88 @@ def load_avsr_mixture(
         ).remove_columns(["__key__", "__url__"])["train"]
     )
     return train.map(fmt), valid.map(fmt), interferer
+
+
+def _decode_interferer_audio(sample: Dict) -> np.ndarray:
+    """ffmpeg-decode one interferer utterance's audio track (mp4 bytes)."""
+    import tempfile
+
+    from avsr_tpu.data import media
+
+    with tempfile.NamedTemporaryFile(suffix=".mp4") as f:
+        f.write(sample["video"])
+        f.flush()
+        return media.load_audio(f.name)
+
+
+class InterfererPool:
+    """Rotating pool of decoded interferer waveforms for SNR mixing.
+
+    The reference ffmpeg-decodes a fresh random LRS2 utterance on every draw
+    (/root/reference/src/dataset/avhubert_dataset.py:181) — a full mp4 decode
+    on the data-plane critical path, 0-2 times per training sample. A plain
+    lru_cache over uniform draws from the ~145k-utterance pool hits ~0.2%,
+    so instead: draws sample uniformly from a pool of N pre-decoded
+    waveforms, and a single background thread keeps rotating pool entries
+    (decode a fresh random utterance, replace a random slot) so coverage of
+    the source distribution grows continuously while the critical path never
+    decodes. Refresh work is rate-limited per draw and dropped (not queued)
+    when the refresher is busy, so it can never back-pressure collation.
+
+    Usable directly as AudioTransform.sample_interferer: ``pool(rng)``.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        size: int = 256,
+        decode_fn: Optional[Callable[[Dict], np.ndarray]] = None,
+        warm_start: int = 8,
+        refresh_per_draw: float = 0.25,
+        seed: int = 0,
+    ):
+        self._ds = dataset
+        self._decode = decode_fn or _decode_interferer_audio
+        self._size = size
+        self._entries: list = []
+        self._rng = np.random.RandomState(seed)
+        self._pending = 0.0
+        self.refresh_per_draw = refresh_per_draw
+        self.refreshes = 0  # observability: completed background rotations
+        self._work: "queue.Queue" = queue.Queue(maxsize=2)
+        for _ in range(max(1, min(warm_start, size))):
+            self._fill_one()
+        self._thread = threading.Thread(target=self._refresher, daemon=True)
+        self._thread.start()
+
+    def _fill_one(self) -> None:
+        wave = self._decode(self._ds[int(self._rng.randint(len(self._ds)))])
+        if len(self._entries) < self._size:
+            self._entries.append(wave)  # grow phase
+        else:
+            self._entries[int(self._rng.randint(self._size))] = wave  # rotate
+        self.refreshes += 1
+
+    def _refresher(self) -> None:
+        while True:
+            self._work.get()
+            try:
+                self._fill_one()
+            except Exception:
+                # one corrupt interferer must not kill training; the slot
+                # keeps its previous waveform and the next rotation retries
+                pass
+
+    def __call__(self, rng: np.random.RandomState) -> np.ndarray:
+        self._pending += self.refresh_per_draw
+        if self._pending >= 1.0:
+            self._pending -= 1.0
+            try:
+                self._work.put_nowait(None)
+            except queue.Full:
+                pass  # refresher busy — drop, never block the collator
+        entries = self._entries  # grows append-only; item swap is atomic
+        return entries[int(rng.randint(len(entries)))]
 
 
 def shard_for_host(dataset, process_index: Optional[int] = None,

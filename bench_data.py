@@ -91,20 +91,18 @@ def main() -> None:
     samples = build_fixture_pool(tmp, args.clips)
 
     # Real interferer path (cli/train.py `interferer`): SNR mixing draws 0-2
-    # interferer utterances per training sample, each an mp4 audio decode.
-    # The lru_cache bounds that to one decode per utterance per pool cycle —
-    # this soak exercises decode + cache + mixing on the critical path, not
-    # a synthesized-waveform stand-in.
-    import functools
-
+    # interferer utterances per training sample. Production uses a rotating
+    # pool of pre-decoded waveforms refreshed by a background thread
+    # (data/dataset.py InterfererPool) — this soak exercises the same pool:
+    # draws off the critical path, ffmpeg decodes competing for host CPU in
+    # the background exactly as in training.
     from avsr_tpu.data import media
+    from avsr_tpu.data.dataset import InterfererPool
 
-    @functools.lru_cache(maxsize=256)
-    def _decode_interferer(idx: int):
-        return media.load_audio(samples[idx]["video"])
-
-    def interferer(rng):
-        return _decode_interferer(int(rng.randint(len(samples))))
+    interferer = InterfererPool(
+        samples, size=min(256, len(samples)),
+        decode_fn=lambda s: media.load_audio(s["video"]),
+    )
 
     def make_collator():
         return DataCollator(

@@ -176,3 +176,39 @@ def test_batches_from_samples_worker_pools_match_inline():
     for a, b in zip(inline, procs):
         for k in a:
             np.testing.assert_array_equal(a[k], b[k], err_msg=f"processes {k}")
+
+
+def test_interferer_pool_rotates_off_critical_path():
+    """InterfererPool: draws never decode inline; background refresher
+    rotates entries toward full coverage (cli/train.py interferer path)."""
+    import time
+
+    from avsr_tpu.data.dataset import InterfererPool
+
+    waves = [np.full((100 + i,), float(i), np.float32) for i in range(40)]
+    decoded = []
+
+    def decode_fn(sample):
+        decoded.append(sample["i"])
+        return waves[sample["i"]]
+
+    ds = [{"i": i} for i in range(40)]
+    pool = InterfererPool(
+        ds, size=16, decode_fn=decode_fn, warm_start=4,
+        refresh_per_draw=1.0, seed=0,
+    )
+    assert len(pool._entries) == 4  # warm start decoded synchronously
+    n_sync = len(decoded)
+    rng = np.random.RandomState(1)
+    outs = [pool(rng) for _ in range(64)]
+    # every draw returns a pool waveform without decoding inline
+    assert all(any(o is w for w in waves) for o in outs)
+    # background refresher makes progress (grow phase, then rotation)
+    deadline = time.time() + 10.0
+    while pool.refreshes < n_sync + 8 and time.time() < deadline:
+        pool(rng)
+        time.sleep(0.01)
+    assert pool.refreshes > n_sync
+    assert len(pool._entries) <= 16
+    # draws hit multiple distinct entries (uniform over the pool)
+    assert len({id(o) for o in outs}) > 1
