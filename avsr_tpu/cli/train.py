@@ -57,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "recompute for HBM so larger per-chip batches fit")
     p.add_argument("--profile_dir", type=str, default="",
                    help="write a jax profiler trace of steps 10-12 here")
+    p.add_argument("--pretrain", action="store_true", default=False,
+                   help="AV-HuBERT masked-prediction pretraining instead of "
+                        "CTC/attention fine-tuning: span masks + same_seq "
+                        "video corruption + cluster-target cross-entropy "
+                        "(train/pretrain.py). The run's 'hubert' params "
+                        "subtree loads into AVSRModel fine-tuning.")
     p.add_argument("--use_flash_attention", type=str, default="auto",
                    choices=["auto", "true", "false"],
                    help="Pallas flash attention in the encoder (fwd+bwd, "
@@ -157,6 +163,14 @@ def main():
         audio_transform=AudioTransform("test"),
     )
 
+    pretrain_cfg = None
+    if args.pretrain:
+        from avsr_tpu.train.pretrain import PretrainCollator, PretrainConfig
+
+        pretrain_cfg = PretrainConfig()
+        collator = PretrainCollator(collator, pretrain_cfg, seed=11)
+        valid_collator = PretrainCollator(valid_collator, pretrain_cfg)
+
     mesh = make_mesh(data=args.data_parallel, model=args.model_parallel)
     print(f"Mesh: {dict(mesh.shape)}")
 
@@ -193,6 +207,7 @@ def main():
         train_cfg=train_cfg,
         mesh=mesh,
         resume_from_checkpoint=args.resume_from_checkpoint,
+        pretrain_cfg=pretrain_cfg,
     )
 
 

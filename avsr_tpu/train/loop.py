@@ -224,8 +224,16 @@ def run_training(
     train_cfg: Optional[T.TrainConfig] = None,
     mesh=None,
     resume_from_checkpoint: bool = False,
+    pretrain_cfg=None,
 ) -> T.TrainState:
-    """Run the training loop; returns the final state."""
+    """Run the training loop; returns the final state.
+
+    pretrain_cfg (a train.pretrain.PretrainConfig) switches the objective to
+    AV-HuBERT masked prediction: the model becomes AVHubertPretrainModel
+    (whose 'hubert' params subtree is layout-compatible with AVSRModel's
+    'encoder') and the collator must emit pretraining batches
+    (train.pretrain.PretrainCollator). Everything else — mesh sharding,
+    grad accumulation, checkpoints, eval cadence, logging — is shared."""
     mesh = mesh or make_mesh()
     tcfg = train_cfg or T.TrainConfig(
         max_steps=loop_cfg.max_steps, grad_accum=loop_cfg.grad_accum
@@ -246,9 +254,14 @@ def run_training(
     example = (
         {k: v[0] for k, v in first.items()} if loop_cfg.grad_accum > 1 else first
     )
+    override = None
+    if pretrain_cfg is not None:
+        from avsr_tpu.train.pretrain import AVHubertPretrainModel
+
+        override = AVHubertPretrainModel(model_cfg.encoder, pretrain_cfg)
     model, state = T.init_state(
         model_cfg, tcfg, jax.random.PRNGKey(loop_cfg.seed), example,
-        variables=pretrained_variables,
+        variables=pretrained_variables, model=override,
     )
     print("Model parameters:\n" + param_summary(state.params))
     tx = T.make_optimizer(tcfg)

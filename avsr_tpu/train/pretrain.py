@@ -202,3 +202,65 @@ class AVHubertPretrainModel(nn.Module):
             "feature_pen": feature_pen,
             "acc_m": acc_m,
         }
+
+
+class PretrainCollator:
+    """Pretraining batches: base AV collation + host-side mask sampling +
+    frame-level cluster targets.
+
+    Wraps the fine-tuning DataCollator (same media decode/augment/fbank
+    path) and appends the pretraining-only fields the jitted loss consumes:
+    audio_mask, video_src_index ('same_seq' gather map) and targets.
+    Targets come from the sample's 'cluster_targets' field when the dataset
+    ships k-means labels (fairseq-style AV-HuBERT pretraining); otherwise a
+    deterministic proxy quantizer (fixed random projection of the frame
+    features -> argmax over num_classes) synthesizes learnable targets so
+    offline/synthetic pretraining runs end-to-end.
+    """
+
+    def __init__(self, base, cfg: Optional[PretrainConfig] = None,
+                 seed: int = 0):
+        self.base = base
+        self.cfg = cfg or PretrainConfig()
+        self.seed = seed
+        self.t_buckets = None
+        self.l_buckets = None
+        self._proj: Optional[np.ndarray] = None
+
+    def __call__(self, features, group_index=None):
+        self.base.t_buckets = self.t_buckets
+        self.base.l_buckets = self.l_buckets
+        batch = self.base(features, group_index=group_index)
+        b, t = batch["videos"].shape[:2]
+        lengths = batch["video_lengths"]
+        seed = self.seed
+        if group_index is not None:
+            seed = (seed + 77_003 * (group_index + 1)) % (2**31)
+        rng = np.random.RandomState(seed)
+        a_mask, v_mask, src = sample_pretrain_masks(
+            self.cfg, b, t, lengths, rng
+        )
+        if "cluster_targets" in features[0]:
+            targets = np.zeros((b, t), np.int32)
+            for i, f in enumerate(features):
+                ct = np.asarray(f["cluster_targets"], np.int32)[:t]
+                targets[i, : len(ct)] = ct
+        else:
+            aud = batch["audios"]
+            rate = max(1, aud.shape[1] // t)
+            frame = aud[:, : t * rate].reshape(b, t, -1)
+            if self._proj is None or self._proj.shape[0] != frame.shape[-1]:
+                pr = np.random.RandomState(12_345)
+                self._proj = pr.randn(
+                    frame.shape[-1], self.cfg.num_classes
+                ).astype(np.float32)
+            targets = np.argmax(frame @ self._proj, axis=-1).astype(np.int32)
+        out = {
+            "videos": batch["videos"],
+            "audios": batch["audios"],
+            "video_lengths": lengths,
+            "audio_mask": a_mask,
+            "video_src_index": src,
+            "targets": targets,
+        }
+        return out

@@ -106,22 +106,45 @@ def init_state(
     rng: jax.Array,
     example_batch: Dict[str, jax.Array],
     variables: Optional[Dict[str, Any]] = None,
+    model: Any = None,
 ) -> Tuple[AVSRModel, TrainState]:
-    """Initialize (or adopt pretrained) variables and optimizer state."""
-    model = AVSRModel(model_cfg)
+    """Initialize (or adopt pretrained) variables and optimizer state.
+
+    `model` overrides the default AVSRModel — the pretraining path passes an
+    AVHubertPretrainModel, recognized by its 'targets' batch field."""
+    model = model if model is not None else AVSRModel(model_cfg)
     if variables is None:
         # jit the whole init: one XLA program instead of per-param kernels
         # (essential over the high-latency TPU tunnel)
-        variables = jax.jit(
-            lambda k: model.init(
-                {"params": k},
-                example_batch["videos"],
-                example_batch["audios"],
-                example_batch["labels"],
-                example_batch["video_lengths"],
-                example_batch["label_lengths"],
+        if "targets" in example_batch:
+            t = example_batch["videos"].shape[1]
+            valid = (
+                jnp.arange(t)[None, :]
+                < example_batch["video_lengths"][:, None]
             )
-        )(rng)
+            variables = jax.jit(
+                lambda k: model.init(
+                    {"params": k},
+                    example_batch["audios"],
+                    example_batch["videos"],
+                    example_batch["audio_mask"],
+                    example_batch["video_src_index"],
+                    example_batch["targets"],
+                    valid,
+                    train=False,
+                )
+            )(rng)
+        else:
+            variables = jax.jit(
+                lambda k: model.init(
+                    {"params": k},
+                    example_batch["videos"],
+                    example_batch["audios"],
+                    example_batch["labels"],
+                    example_batch["video_lengths"],
+                    example_batch["label_lengths"],
+                )
+            )(rng)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(train_cfg)
@@ -161,6 +184,29 @@ def loss_fn(model, params, batch_stats, batch, rngs, train: bool = True,
         for key in ("videos", "audios"):
             batch[key] = batch[key].astype(dt)
     variables = {"params": params, "batch_stats": batch_stats}
+    if "targets" in batch:
+        # masked-prediction pretraining (train/pretrain.AVHubertPretrainModel)
+        t = batch["videos"].shape[1]
+        valid = jnp.arange(t)[None, :] < batch["video_lengths"][:, None]
+        (loss, metrics), mutated = model.apply(
+            variables,
+            batch["audios"],
+            batch["videos"],
+            batch["audio_mask"],
+            batch["video_src_index"],
+            batch["targets"],
+            valid,
+            train=train,
+            rngs=rngs,
+            mutable=["batch_stats"] if train else [],
+        )
+        metrics = {k: v.astype(jnp.float32) for k, v in metrics.items()}
+        new_stats = (
+            mutated.get("batch_stats", batch_stats) if train else batch_stats
+        )
+        if train and compute_dtype != "float32":
+            new_stats = _cast_floats(new_stats, jnp.float32)
+        return loss, (metrics, new_stats)
     out, mutated = model.apply(
         variables,
         batch["videos"],

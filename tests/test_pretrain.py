@@ -129,3 +129,96 @@ def test_feature_grad_mult_scales_encoder_grads():
         np.testing.assert_allclose(
             np.asarray(b_leaf), 0.1 * np.asarray(a_leaf), rtol=1e-4, atol=1e-6
         )
+
+
+def test_pretrain_end_to_end_and_finetune_handoff(tmp_path):
+    """--pretrain path: PretrainCollator -> run_training (masked-prediction
+    objective), loss decreases, and the checkpoint's 'hubert' subtree loads
+    into AVSRModel fine-tuning (VERDICT r3 #9)."""
+    from avsr_tpu.core.config import AVHubertAVSRConfig
+    from avsr_tpu.data.collate import DataCollator
+    from avsr_tpu.data.dataset import synthetic_samples
+    from avsr_tpu.data.transforms import AudioTransform, VideoTransform
+    from avsr_tpu.train import trainer as T
+    from avsr_tpu.train.loop import LoopConfig, run_training
+    from avsr_tpu.train.pretrain import PretrainCollator
+
+    pcfg = PretrainConfig(num_classes=24)
+    enc_cfg = tiny_encoder_cfg()
+    model_cfg = AVHubertAVSRConfig(
+        odim=31, adim=16, ddim=16, dheads=2, dunits=32, dlayers=1,
+        encoder=enc_cfg,
+    )
+    base = DataCollator(
+        text_transform=None,
+        video_transform=VideoTransform("train"),
+        audio_transform=AudioTransform("train"),
+        seed=0,
+    )
+    coll = PretrainCollator(base, pcfg, seed=0)
+    n_steps = 8
+    loop_cfg = LoopConfig(
+        output_dir=str(tmp_path), max_steps=n_steps, batch_size=1,
+        grad_accum=1, save_steps=n_steps, eval_steps=100, log_interval=1,
+    )
+    tcfg = T.TrainConfig(
+        learning_rate=2e-3, warmup_steps=1, max_steps=n_steps, grad_accum=1,
+    )
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        state = run_training(
+            model_cfg, loop_cfg,
+            synthetic_samples(256, seed=0, min_frames=16, max_frames=24),
+            coll, train_cfg=tcfg, pretrain_cfg=pcfg,
+        )
+    logs = buf.getvalue()
+    assert int(jax.device_get(state.step)) == n_steps
+    losses = [
+        float(line.split("loss=")[1].split()[0])
+        for line in logs.splitlines() if "loss=" in line and "train" in line
+    ]
+    assert len(losses) == n_steps
+    assert losses[-1] < losses[0]  # the proxy objective is learnable
+    assert np.isfinite(losses).all()
+
+    # ---- handoff: checkpoint's hubert subtree -> AVSRModel.encoder ----
+    import os
+
+    ckpt_root = os.path.join(str(tmp_path), "checkpoints")
+    assert os.path.isdir(os.path.join(ckpt_root, str(n_steps)))
+    mgr = T.CheckpointManager(ckpt_root)
+    assert mgr.latest_step() == n_steps
+    restored = mgr.restore(n_steps, jax.device_get(state))
+    mgr.close()
+    hubert = restored.params["hubert"]
+
+    from avsr_tpu.models.e2e import AVSRModel
+
+    avsr = AVSRModel(model_cfg)
+    rng = np.random.RandomState(0)
+    videos = jnp.asarray(rng.randn(2, 8, 88, 88, 1).astype(np.float32))
+    audios = jnp.asarray(rng.randn(2, 8, 104).astype(np.float32))
+    labels = jnp.asarray(rng.randint(1, 30, (2, 3)), jnp.int32)
+    variables = avsr.init(
+        {"params": jax.random.PRNGKey(1)}, videos, audios, labels,
+        jnp.asarray([8, 6]), jnp.asarray([3, 2]),
+    )
+    # the subtrees are layout-compatible (module docstring's promise)
+    assert jax.tree_util.tree_structure(
+        variables["params"]["encoder"]
+    ) == jax.tree_util.tree_structure(hubert)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(variables["params"]["encoder"])[0],
+        jax.tree_util.tree_flatten_with_path(hubert)[0],
+    ):
+        assert pa == pb and a.shape == b.shape, (pa, pb)
+    params = dict(variables["params"])
+    params["encoder"] = hubert
+    out = avsr.apply(
+        {"params": params, "batch_stats": variables.get("batch_stats", {})},
+        videos, audios, labels, jnp.asarray([8, 6]), jnp.asarray([3, 2]),
+    )
+    assert np.isfinite(float(out.loss))
