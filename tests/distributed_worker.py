@@ -9,12 +9,70 @@ core.mesh.shard_batch, train.trainer.replicate_state / CheckpointManager):
 3. a data-parallel gradient all-reduce over the 2-host mesh matches the
    single-host full-batch computation (numpy reference)
 4. orbax checkpoint save/restore participates from both processes
+5. one REAL AVSRModel train step (tiny config) over the 2-process mesh;
+   loss/grad-norm written to metrics_<proc>.json for the harness to compare
+   against the single-process 4-device run (what torchrun DDP demonstrates,
+   /root/reference/script/train.py:23)
+
+Run with nproc=1 for the single-process reference mode: skips
+jax.distributed and runs the same real-model step on 4 local devices.
 
 Exit code 0 = all assertions passed in this process.
 """
 
 import os
 import sys
+
+
+def real_model_step(mesh, proc_id: int, nproc: int, out_dir: str) -> None:
+    """One AVSRModel train step, global batch 8 sharded over the mesh."""
+    import json
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from avsr_tpu.core.mesh import shard_batch
+    from avsr_tpu.train import trainer as T
+    from tests.test_train import tiny_cfg
+
+    cfg = tiny_cfg()
+    # zero every stochastic knob: PRNG bit layouts are not guaranteed
+    # identical across different device meshes, and this test asserts exact
+    # cross-layout equality of the deterministic math
+    cfg.encoder.modality_dropout = 0.0
+    cfg.encoder.audio_dropout = 0.0
+    cfg.encoder.hidden_dropout = 0.0
+    cfg.encoder.attention_dropout = 0.0
+    cfg.encoder.dropout_input = 0.0
+    cfg.dropout_rate = 0.0
+    cfg.transformer_attn_dropout_rate = 0.0
+
+    rng = np.random.RandomState(0)
+    b, t, l = 8, 6, 3
+    batch_global = {
+        "videos": rng.randn(b, t, 88, 88, 1).astype(np.float32),
+        "audios": rng.randn(b, t, 104).astype(np.float32),
+        "labels": rng.randint(1, 30, size=(b, l)).astype(np.int32),
+        "video_lengths": np.full((b,), t, np.int32),
+        "label_lengths": np.full((b,), l, np.int32),
+    }
+    example = {k: v[:1] for k, v in batch_global.items()}
+    tcfg = T.TrainConfig(warmup_steps=1, max_steps=4, grad_accum=1)
+    model, state = T.init_state(cfg, tcfg, jax.random.PRNGKey(0), example)
+    tx = T.make_optimizer(tcfg)
+    state = T.replicate_state(state, mesh)
+    step_fn = T.make_parallel_train_step(model, tx, mesh)
+    # each host feeds only its share of the global batch
+    share = b // nproc
+    lo = proc_id * share
+    local = {k: v[lo : lo + share] for k, v in batch_global.items()}
+    state, metrics = step_fn(state, shard_batch(local, mesh),
+                             jax.random.PRNGKey(5))
+    metrics = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+    assert np.isfinite(list(metrics.values())).all(), metrics
+    with open(os.path.join(out_dir, f"metrics_{proc_id}.json"), "w") as f:
+        json.dump(metrics, f)
 
 
 def main() -> None:
@@ -24,10 +82,21 @@ def main() -> None:
     ckpt_dir = sys.argv[4]
 
     os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    devs = 2 if nproc > 1 else 4
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={devs}"
+    )
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    if nproc == 1:
+        # single-process reference mode: same real-model step, 4 local devices
+        from avsr_tpu.core.mesh import make_mesh
+
+        os.makedirs(ckpt_dir, exist_ok=True)
+        real_model_step(make_mesh(), 0, 1, ckpt_dir)
+        print("worker 0: OK", flush=True)
+        return
     jax.distributed.initialize(
         coordinator_address=f"localhost:{port}",
         num_processes=nproc,
@@ -105,6 +174,9 @@ def main() -> None:
     )
     assert int(jax.device_get(restored.step)) == 7
     mgr.close()
+
+    # ---- one real AVSRModel train step over the 2-process mesh ----
+    real_model_step(mesh, proc_id, nproc, ckpt_dir)
 
     jax.distributed.shutdown()
     print(f"worker {proc_id}: OK", flush=True)

@@ -54,3 +54,27 @@ def test_two_process_distributed(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"worker {i}: OK" in out
+
+    # ---- real-model cross-layout equality ----
+    # the workers each ran one tiny-config AVSRModel train step over the
+    # 2-process x 2-device mesh; run the IDENTICAL step single-process on
+    # 4 local devices and require equal loss/grad-norm (the deterministic
+    # math must not depend on the process layout)
+    import json
+
+    ref_dir = tmp_path / "ref"
+    ref = subprocess.run(
+        [sys.executable, worker, "0", "1", "0", str(ref_dir)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        timeout=240,
+    )
+    assert ref.returncode == 0, f"reference run failed:\n{ref.stdout}"
+    with open(ref_dir / "metrics_0.json") as f:
+        expected = json.load(f)
+    for i in range(2):
+        with open(tmp_path / "ck" / f"metrics_{i}.json") as f:
+            got = json.load(f)
+        for key in ("loss", "loss_ctc", "loss_att", "grad_norm"):
+            assert abs(got[key] - expected[key]) <= 1e-4 * max(
+                1.0, abs(expected[key])
+            ), (i, key, got[key], expected[key])
