@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["none", "dots", "full", "ffn"],
                    help="encoder-layer rematerialization in backward: trade "
                         "recompute for HBM so larger per-chip batches fit")
+    p.add_argument("--frontend_remat", action="store_true", default=False,
+                   help="rematerialize the video ResNet frontend in backward "
+                        "(its per-frame conv saves dominate HBM past B~32)")
     p.add_argument("--profile_dir", type=str, default="",
                    help="write a jax profiler trace of steps 10-12 here")
     p.add_argument("--pretrain", action="store_true", default=False,
@@ -115,6 +118,7 @@ def main():
         print("Flash attention: on")
     model_cfg.encoder.scan_unroll = args.scan_unroll
     model_cfg.encoder.scan_remat = args.scan_remat
+    model_cfg.encoder.frontend_remat = args.frontend_remat
 
     if args.synthetic_dataset:
         import jax

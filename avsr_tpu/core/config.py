@@ -58,6 +58,12 @@ class AVHubertEncoderConfig:
     # whose erf-GELU recompute dominates full's backward fusions — the
     # jax.checkpoint memory/FLOPs trade.
     scan_remat: str = "none"
+    # rematerialize the video ResNet frontend in the backward pass: its
+    # per-frame conv activations dominate HBM at large batch (B=48, T=384:
+    # ~15 GB of (B*T, h, w, c) saves vs ~0.9 GB for the rematted
+    # transformer), while its forward is a small fraction of step FLOPs.
+    # Turning this on is what makes per-chip batches >32 fit 16 GB HBM.
+    frontend_remat: bool = False
 
     @property
     def fused_dim(self) -> int:

@@ -265,8 +265,16 @@ class AVHubertModel(nn.Module):
         if audio is not None:
             feats_a = nn.Dense(d, name="audio_proj")(audio)
         if video is not None:
-            v = ResEncoder(relu_type=c.resnet_relu_type, name="video_resnet")(
-                video, train=train
+            res_cls = ResEncoder
+            if train and getattr(c, "frontend_remat", False):
+                # recompute the per-frame conv stack in the backward instead
+                # of saving its (B*T, h, w, c) activations — the dominant HBM
+                # cost at large batch (see AVHubertEncoderConfig.frontend_remat)
+                res_cls = nn.remat(
+                    ResEncoder, static_argnums=(2,), prevent_cse=False
+                )
+            v = res_cls(relu_type=c.resnet_relu_type, name="video_resnet")(
+                video, train
             )
             feats_v = nn.Dense(d, name="video_proj")(v)
 

@@ -226,14 +226,23 @@ class DecoderLayer(nn.Module):
             )
             qkv = h.reshape(n, self.dim) @ w_qkv + b_qkv  # (N, 3C)
             q = qkv[:, : self.dim] * d_k ** -0.5
-            # Default OFF: the in-kernel row write needs a size-1 DMA slice
-            # along the (8,128)-tiled S dim at a dynamic position, which
-            # Mosaic rejects on v5e ("Slice shape along dimension 1 must be
-            # aligned to tiling (8)"). No cache layout fixes this without
-            # 8x padding or chunk-sized write-back traffic, so the row write
-            # stays an XLA dynamic-update-slice (~76 us/step at B=16 for all
-            # 6 layers). Opt-in for toolchains that lift the restriction.
-            if os.environ.get("AVSR_DECODE_FUSED_KV_WRITE", "0") == "1":
+            # In-kernel row write: under the v2 grid kernel, Mosaic rejects
+            # the size-1 DMA slice at a dynamic position on the (8,128)-
+            # tiled S dim ("must be aligned to tiling (8)") — so v2 keeps
+            # the XLA dynamic-update-slice and the kernel write is opt-in
+            # via AVSR_DECODE_FUSED_KV_WRITE=1. The v3 resident kernel
+            # sidesteps the restriction with an 8-ALIGNED block write-back
+            # (ops/pallas/decode_attention._kernel_resident), so the kernel
+            # write is the DEFAULT there (the XLA dus + its relayout copy
+            # cost ~25 us/layer/step at B=32); =0 forces the dus path.
+            fkw = os.environ.get("AVSR_DECODE_FUSED_KV_WRITE")
+            resident = (
+                os.environ.get("AVSR_DECODE_ATTN_RESIDENT", "1") == "1"
+            )
+            use_kernel_write = fkw == "1" or (
+                fkw is None and resident and self_kv.shape[1] % 8 == 0
+            )
+            if use_kernel_write:
                 # the kernel stores this step's K|V row itself (aliased
                 # in-place cache output) — one fewer XLA launch per layer
                 out, self_kv = decode_attention(

@@ -111,6 +111,25 @@ def check_serving_kernels() -> None:
         np.where(np.transpose(valid, (1, 2, 0, 3)), 0.0, -1.0e30)
         .astype(np.float32)
     )
+    # v3 resident kernel (serving default): one program per layer with the
+    # in-kernel group loop AND the 8-aligned block row write-back
+    resident_on = os.environ.get("AVSR_DECODE_ATTN_RESIDENT", "1") == "1"
+    if resident_on:
+        out_t, kv_t = jax.jit(
+            lambda *a: decode_attention(
+                *a, lanes=k, heads=heads, kv_row=new_row, resident=True,
+                interpret=not on_accel,
+            )
+        )(jnp.asarray(pos), q, kv, bias)
+        out_i, kv_i = decode_attention(
+            jnp.asarray(pos), q, kv, bias, lanes=k, heads=heads,
+            kv_row=new_row, resident=True, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(kv_t), np.asarray(kv_i))
+        np.testing.assert_allclose(
+            np.asarray(out_t), np.asarray(out_i), rtol=2e-2, atol=2e-2
+        )
+
     use_kv_row = os.environ.get("AVSR_DECODE_FUSED_KV_WRITE", "0") == "1"
     if use_kv_row:
         out_t, kv_t = jax.jit(

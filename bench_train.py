@@ -32,6 +32,7 @@ def main() -> None:
     ap.add_argument("--accum", type=int, default=1)
     ap.add_argument("--unroll", type=int, default=1)
     ap.add_argument("--remat", default="none", choices=["none", "dots", "full", "ffn"])
+    ap.add_argument("--frontend-remat", action="store_true")
     ap.add_argument("--no-flash", action="store_true")
     ap.add_argument("--fp32", action="store_true")
     args = ap.parse_args()
@@ -51,6 +52,7 @@ def main() -> None:
     cfg.encoder.use_flash_attention = not args.no_flash
     cfg.encoder.scan_unroll = args.unroll
     cfg.encoder.scan_remat = args.remat
+    cfg.encoder.frontend_remat = args.frontend_remat
     tcfg = T.TrainConfig(
         compute_dtype="float32" if args.fp32 else "bfloat16", grad_accum=args.accum
     )

@@ -47,13 +47,14 @@ def make_case(seed, b=2, k=3, s_max=64, heads=4, dh=32, pos=11, dtype=np.float32
     return q, k_cache, v_cache, bias_ksj, pos, heads
 
 
+@pytest.mark.parametrize("resident", [False, True])
 @pytest.mark.parametrize("pos", [0, 11, 63])
-def test_fused_matches_dense(pos):
+def test_fused_matches_dense(pos, resident):
     q, k_cache, v_cache, bias, _, heads = make_case(3, pos=pos)
     out = decode_attention(
         jnp.asarray(pos), jnp.asarray(q),
         jnp.asarray(np.concatenate([k_cache, v_cache], -1)), jnp.asarray(bias),
-        lanes=3, heads=heads, chunk=16,
+        lanes=3, heads=heads, chunk=16, resident=resident,
     )
     want = reference(pos, jnp.asarray(q), jnp.asarray(k_cache),
                      jnp.asarray(v_cache), jnp.asarray(bias), heads)
@@ -109,8 +110,9 @@ def test_fused_prefix_bounded_reads():
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize("resident", [False, True])
 @pytest.mark.parametrize("pos", [0, 11, 63])
-def test_write_row_matches_prewritten(pos):
+def test_write_row_matches_prewritten(pos, resident):
     """kv_row mode (the kernel stores row `pos` itself, aliased cache
     output) must be bit-identical to pre-writing the row with a
     dynamic-update-slice and calling the read-only kernel."""
@@ -122,12 +124,39 @@ def test_write_row_matches_prewritten(pos):
     pre = jax.lax.dynamic_update_slice(kv, new_row[:, None, :], (0, pos, 0))
     out_ref = decode_attention(
         jnp.asarray(pos), jnp.asarray(q), pre, jnp.asarray(bias),
-        lanes=3, heads=heads,
+        lanes=3, heads=heads, resident=resident,
     )
     # stale bytes at row pos in `kv`; the kernel must overwrite them
     out, kv_new = decode_attention(
         jnp.asarray(pos), jnp.asarray(q), kv, jnp.asarray(bias),
-        lanes=3, heads=heads, kv_row=new_row,
+        lanes=3, heads=heads, kv_row=new_row, resident=resident,
     )
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out_ref))
     np.testing.assert_array_equal(np.asarray(kv_new), np.asarray(pre))
+
+
+@pytest.mark.parametrize("write_row", [False, True])
+def test_resident_multigroup_double_buffer(write_row):
+    """v3 with >2 groups exercises the double-buffered in-kernel group
+    loop (issue g+2 after compute g) against the v2 grid path."""
+    q, k_cache, v_cache, bias, pos, heads = make_case(23, b=8, pos=30)
+    kv = jnp.asarray(np.concatenate([k_cache, v_cache], -1))
+    kw = {}
+    if write_row:
+        rng = np.random.RandomState(41)
+        kw["kv_row"] = jnp.asarray(
+            rng.randn(kv.shape[0], kv.shape[2]).astype(np.float32)
+        )
+    got = decode_attention(
+        jnp.asarray(pos), jnp.asarray(q), kv, jnp.asarray(bias),
+        lanes=3, heads=heads, resident=True, **kw,
+    )
+    want = decode_attention(
+        jnp.asarray(pos), jnp.asarray(q), kv, jnp.asarray(bias),
+        lanes=3, heads=heads, resident=False, **kw,
+    )
+    if write_row:
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+        got, want = got[0], want[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)

@@ -42,3 +42,48 @@ def test_remat_grads_match(remat, dropout):
     got = _grads(remat, dropout)
     diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), base, got)
     assert max(jax.tree.leaves(diff)) < 1e-5
+
+
+def _full_model_grads(frontend_remat: bool):
+    from avsr_tpu.models.avhubert import AVHubertModel
+
+    cfg = AVHubertEncoderConfig(
+        encoder_embed_dim=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=48, num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4, frontend_remat=frontend_remat,
+    )
+    m = AVHubertModel(cfg)
+    rs = np.random.RandomState(1)
+    audio = jnp.asarray(rs.randn(2, 6, 104).astype(np.float32))
+    video = jnp.asarray(rs.randn(2, 6, 88, 88, 1).astype(np.float32))
+    v = m.init(
+        {"params": jax.random.PRNGKey(0)}, audio, video, train=False
+    )
+
+    def loss(p):
+        out, _ = m.apply(
+            {"params": p, "batch_stats": v["batch_stats"]},
+            audio, video, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(3),
+                  "modality": jax.random.PRNGKey(4)},
+        )
+        return jnp.sum(out ** 2)
+
+    return jax.grad(loss)(v["params"])
+
+
+def test_frontend_remat_grads_match():
+    """frontend_remat recomputes the video ResNet in backward; math unchanged.
+
+    Tolerance is relative per leaf: recompute changes XLA's fusion
+    boundaries, so fp32 reassociation noise scales with gradient magnitude
+    (the LayerNorm scale grads are O(50) here). 5e-5 relative is ~10x the
+    observed noise through the 18-conv recompute and ~5 orders below what
+    any actual math divergence would produce."""
+    base = _full_model_grads(False)
+    got = _full_model_grads(True)
+    rel = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max() / (1.0 + jnp.abs(a).max())),
+        base, got,
+    )
+    assert max(jax.tree.leaves(rel)) < 5e-5
