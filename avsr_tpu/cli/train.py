@@ -52,7 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="encoder layer-stack unroll factor (24 = fully "
                         "unrolled; ~12%% faster steps, slower first compile)")
     p.add_argument("--scan_remat", type=str, default="none",
-                   choices=["none", "dots", "full", "ffn"],
+                   choices=["none", "dots", "full", "ffn", "ffn2", "qkv_ffn"],
                    help="encoder-layer rematerialization in backward: trade "
                         "recompute for HBM so larger per-chip batches fit")
     p.add_argument("--frontend_remat", action="store_true", default=False,

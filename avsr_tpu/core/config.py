@@ -54,9 +54,13 @@ class AVHubertEncoderConfig:
     # per-chip batch ~8 at T=384 on 16 GB HBM), "dots" saves matmul outputs
     # only (crashes the v5e TPU worker as of round 3 — libtpu fault),
     # "full" recomputes the whole layer body (max batch headroom at +1/3
-    # encoder FLOPs), "ffn" is full except the two (B, T, 4096) FFN tensors
-    # whose erf-GELU recompute dominates full's backward fusions — the
-    # jax.checkpoint memory/FLOPs trade.
+    # encoder FLOPs), "ffn" is full except the post-GELU (B, T, 4096) FFN
+    # activation whose erf-GELU recompute dominates full's backward fusions,
+    # "ffn2" saves both FFN tensors (pre + post activation), "qkv_ffn"
+    # additionally saves the q/k/v heads so the backward recomputes only
+    # LayerNorms + out_proj (+ the flash kernel rerun). ffn2/qkv_ffn need
+    # frontend_remat=True to fit 16 GB HBM at B>=24/T=384 — the
+    # jax.checkpoint memory/FLOPs trade at decreasing recompute cost.
     scan_remat: str = "none"
     # rematerialize the video ResNet frontend in the backward pass: its
     # per-frame conv activations dominate HBM at large batch (B=48, T=384:

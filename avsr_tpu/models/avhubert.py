@@ -92,6 +92,12 @@ class EncoderSelfAttention(nn.Module):
         q = proj("q_proj")
         k = proj("k_proj")
         v = proj("v_proj")
+        # names for scan_remat='qkv_ffn': saving q/k/v lets the backward
+        # rerun the flash kernel (needed for its VJP residuals either way)
+        # without recomputing the three input projections first
+        q = checkpoint_name(q, "enc_q")
+        k = checkpoint_name(k, "enc_k")
+        v = checkpoint_name(v, "enc_v")
 
         if self.use_flash:
             # Pallas kernel with a custom VJP: used for training and
@@ -214,13 +220,31 @@ class AVHubertTransformer(nn.Module):
                 # under 'full', ~4x off MXU ideal with the erf-GELU chain
                 # fused in — then reads it instead of recomputing. Saving
                 # the pre-activation too (for the dgrad's gelu') OOMs 16 GB
-                # HBM at B=24 by ~280 MB. Measured same-window at B=24:
+                # HBM at B=24 by ~280 MB — unless frontend_remat frees the
+                # ResNet saves; see 'ffn2'. Measured same-window at B=24:
                 # slightly SLOWER than 'full' (43.6 vs 45.4 samples/s) —
                 # stacking 24 x 75.5 MB through the scan costs more HBM
                 # traffic than the recompute it avoids; kept as an option
                 # for shapes where the trade flips
                 policy = jax.checkpoint_policies.save_only_these_names(
                     "enc_ffn_act"
+                )
+            elif remat == "ffn2":
+                # both FFN tensors: W2 wgrad reads the saved activation AND
+                # the dgrad's gelu' reads the saved pre-activation, so the
+                # backward recompute is only LN/attention. Needs
+                # frontend_remat=True to fit 16 GB HBM at B>=24/T=384.
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "enc_ffn_pre", "enc_ffn_act"
+                )
+            elif remat == "qkv_ffn":
+                # 'ffn2' plus the q/k/v projections: the backward's flash
+                # rerun starts from the saved heads, so the only recomputed
+                # matmul is out_proj (~8% of layer fwd MACs vs full remat's
+                # 100%). ~208 MB/layer saved at B=24/T=384; needs
+                # frontend_remat=True.
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "enc_q", "enc_k", "enc_v", "enc_ffn_pre", "enc_ffn_act"
                 )
             else:  # 'dots' (NOTE: crashes the v5e TPU worker as of round 3)
                 policy = (

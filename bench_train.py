@@ -31,7 +31,8 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--accum", type=int, default=1)
     ap.add_argument("--unroll", type=int, default=1)
-    ap.add_argument("--remat", default="none", choices=["none", "dots", "full", "ffn"])
+    ap.add_argument("--remat", default="none",
+                    choices=["none", "dots", "full", "ffn", "ffn2", "qkv_ffn"])
     ap.add_argument("--frontend-remat", action="store_true")
     ap.add_argument("--no-flash", action="store_true")
     ap.add_argument("--fp32", action="store_true")

@@ -35,7 +35,7 @@ def _grads(remat: str, dropout: bool = False):
     return jax.grad(loss)(v["params"])
 
 
-@pytest.mark.parametrize("remat", ["dots", "full", "ffn"])
+@pytest.mark.parametrize("remat", ["dots", "full", "ffn", "ffn2", "qkv_ffn"])
 @pytest.mark.parametrize("dropout", [False, True])
 def test_remat_grads_match(remat, dropout):
     base = _grads("none", dropout)

@@ -44,9 +44,11 @@ def parse_trace(trace_dir: str, steps: int):
     for e in events:
         if e.get("ph") == "M" and e.get("name") == "thread_name":
             tnames[(e["pid"], e["tid"])] = e["args"].get("name", "")
-    per_op = collections.Counter()
-    n_op = collections.Counter()
-    total = 0.0
+    # collect op events per lane, then charge each event its SELF time only:
+    # a `while` (lax.scan) envelope event contains its body ops on the same
+    # lane, so naive duration sums double-count scan bodies (measured: 724
+    # ms/step "device total" vs 617 ms wall at B=24)
+    lanes = collections.defaultdict(list)
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
             continue
@@ -55,11 +57,40 @@ def parse_trace(trace_dir: str, steps: int):
             continue  # step-marker lane duplicates op time
         if "XLA Modules" in lane:
             continue  # whole-module envelope duplicates op time
-        dur = e.get("dur", 0) / 1e3  # us -> ms
-        per_op[e["name"]] += dur
-        n_op[e["name"]] += 1
-        total += dur
-    return per_op, n_op, total
+        lanes[(e["pid"], e.get("tid"))].append(e)
+    per_op = collections.Counter()
+    n_op = collections.Counter()
+    op_args = {}
+    total = 0.0
+    for evs in lanes.values():
+        evs.sort(key=lambda e: (e["ts"], -e.get("dur", 0)))
+        stack = []  # (end_ts, child_time_accum index into charges)
+        charges = []  # mutable [child_time] cells, parallel to stack depth
+        for e in evs:
+            ts, dur = e["ts"], e.get("dur", 0)
+            while stack and ts >= stack[-1] - 1e-9:
+                stack.pop()
+                charges.pop()
+            self_dur = dur
+            if stack:
+                charges[-1][0] += dur  # this event is a child of stack top
+            stack.append(ts + dur)
+            cell = [0.0]
+            charges.append(cell)
+            # defer the charge until we know the children total — use a
+            # closure-free trick: record and fix up after the sweep
+            e["_cell"] = cell
+        for e in evs:
+            dur = e.get("dur", 0)
+            self_ms = (dur - e.pop("_cell")[0]) / 1e3
+            if self_ms < 0:
+                self_ms = 0.0
+            per_op[e["name"]] += self_ms
+            n_op[e["name"]] += 1
+            total += self_ms
+            if e["name"] not in op_args and e.get("args"):
+                op_args[e["name"]] = e["args"]
+    return per_op, n_op, total, op_args
 
 
 def main() -> None:
@@ -67,8 +98,10 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=6)
     ap.add_argument("--frames", type=int, default=384)
     ap.add_argument("--labels", type=int, default=48)
-    ap.add_argument("--remat", default="none", choices=["none", "dots", "full", "ffn"])
+    ap.add_argument("--remat", default="none",
+                    choices=["none", "dots", "full", "ffn", "ffn2", "qkv_ffn"])
     ap.add_argument("--unroll", type=int, default=1)
+    ap.add_argument("--frontend-remat", action="store_true")
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--top", type=int, default=30)
     args = ap.parse_args()
@@ -88,6 +121,7 @@ def main() -> None:
     cfg.encoder.use_flash_attention = True
     cfg.encoder.scan_unroll = args.unroll
     cfg.encoder.scan_remat = args.remat
+    cfg.encoder.frontend_remat = args.frontend_remat
     tcfg = T.TrainConfig(compute_dtype="bfloat16")
 
     b, t, l = args.batch, args.frames, args.labels
@@ -113,15 +147,47 @@ def main() -> None:
     float(metrics["loss"])
 
     trace_dir = tempfile.mkdtemp(prefix="train_trace_")
+    import time
+    t0 = time.perf_counter()
     with jax.profiler.trace(trace_dir):
         for i in range(args.steps):
             state, metrics = step_fn(state, device_batch, jax.random.fold_in(key, i))
         float(metrics["loss"])  # D2H sync inside the trace window
+    wall_ms = (time.perf_counter() - t0) / args.steps * 1e3
 
-    per_op, n_op, total = parse_trace(trace_dir, args.steps)
-    print(f"device total: {total / args.steps:.1f} ms/step over {args.steps} steps")
+    per_op, n_op, total, op_args = parse_trace(trace_dir, args.steps)
+    print(
+        f"device total: {total / args.steps:.1f} ms/step over {args.steps} steps"
+        f" (wall {wall_ms:.1f} ms/step -> {wall_ms - total / args.steps:.1f} ms"
+        f" dispatch/idle gap)"
+    )
+    # group: ops executing >= L/2 times per step are encoder-scan body ops
+    L = cfg.encoder.num_hidden_layers
+    scan_ms = sum(d for nm, d in per_op.items() if n_op[nm] >= args.steps * L // 2)
+    print(
+        f"  scan-body (x>={L // 2}/step): {scan_ms / args.steps:.1f} ms/step | "
+        f"single-shot: {(total - scan_ms) / args.steps:.1f} ms/step"
+    )
+    # per-source aggregation: where does device time come from?
+    by_src = collections.Counter()
+    for name, dur in per_op.items():
+        a = op_args.get(name, {})
+        src = a.get("source_info") or a.get("source") or "?"
+        by_src[src] += dur
+    print("by source:")
+    for src, dur in by_src.most_common(25):
+        print(f"  {dur / args.steps:9.3f} ms/step  {src}")
     for name, dur in per_op.most_common(args.top):
-        print(f"  {dur / args.steps:9.3f} ms/step  x{n_op[name] // args.steps:<4d} {name}")
+        a = op_args.get(name, {})
+        src = a.get("source_info") or a.get("source") or ""
+        label = a.get("long_name") or a.get("tf_op") or ""
+        extra = f"  [{label[:90]}]" if label else ""
+        if src:
+            extra += f" @{src}"
+        print(
+            f"  {dur / args.steps:9.3f} ms/step  x{n_op[name] // args.steps:<4d}"
+            f" {name}{extra}"
+        )
 
 
 if __name__ == "__main__":
