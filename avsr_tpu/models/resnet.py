@@ -13,6 +13,7 @@ Structure (matching the checkpoint):
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Sequence
 
 import jax
@@ -152,6 +153,73 @@ class StemConv3D(nn.Module):
         return out.reshape(b, t, h // 2, w // 2, self.features)
 
 
+class _PReLUAlpha(nn.Module):
+    """Declares the PReLU weight without applying it (fused-stem path).
+
+    Same variable (alpha) under the same module name as PReLU, so the
+    checkpoint tree is identical whichever path builds the model.
+    """
+
+    channels: int
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param(
+            "alpha", lambda k, s: jnp.full(s, 0.25, jnp.float32),
+            (self.channels,),
+        )
+
+
+class _FusedStemTail(nn.Module):
+    """BN + PReLU + 3x3/s2 max pool via one fused op (ops/pallas/stem_fuse).
+
+    Declares exactly the variables flax BatchNorm would under this module
+    name (params scale/bias, batch_stats mean/var with the same momentum
+    update), so checkpoints are interchangeable with the unfused path.
+    """
+
+    features: int
+    momentum: float = 0.9
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, alpha: jax.Array, train: bool):
+        from avsr_tpu.ops.pallas import stem_fuse
+
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32),
+        )
+        ra_var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32),
+        )
+        use_kernel = (
+            jax.default_backend() != "cpu"
+            and os.environ.get("AVSR_FUSED_STEM", "1") != "0"
+        )
+        fn = stem_fuse.bn_prelu_pool if use_kernel else stem_fuse.reference
+        if train:
+            out, bm, bv = fn(x, scale, bias, alpha, eps=self.eps, train=True)
+            if not self.is_initializing():
+                bm = jax.lax.stop_gradient(bm)
+                bv = jax.lax.stop_gradient(bv)
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * bm
+                ra_var.value = m * ra_var.value + (1.0 - m) * bv
+            return out
+        return fn(
+            x, scale, bias, alpha, eps=self.eps, train=False,
+            running_mean=ra_mean.value, running_var=ra_var.value,
+        )
+
+
 class ResEncoder(nn.Module):
     """Video frontend: (B, T, H, W, 1) uint/float frames -> (B, T, 512)."""
 
@@ -161,17 +229,28 @@ class ResEncoder(nn.Module):
     def __call__(self, video: jax.Array, train: bool = False) -> jax.Array:
         b, t = video.shape[:2]
         x = StemConv3D(name="frontend_conv")(video)
-        x = _batch_norm(train, "frontend_bn")(x)
-        x = PReLU(64, name="frontend_prelu")(x) if self.relu_type == "prelu" else _relu_factory(self.relu_type, 64)(x)
-        # MaxPool3D k=(1,3,3) s=(1,2,2) p=(0,1,1): time dim untouched.
-        x = nn.max_pool(
-            x,
-            window_shape=(1, 3, 3),
-            strides=(1, 2, 2),
-            padding=((0, 0), (1, 1), (1, 1)),
-        )
-        # fold time into batch for the 2D trunk (a reshape, not a loop)
-        h, w, c = x.shape[2:]
-        x = x.reshape(b * t, h, w, c)
+        if self.relu_type == "prelu":
+            # fold time into batch first (pure reshape; pooling never mixes
+            # time) so BN + PReLU + pool run as ONE fused op over frames
+            # instead of four HBM passes + a select-and-scatter backward —
+            # the profiled stem tail cost ~56 ms/step of an ~21 ms floor at
+            # B=24/T=384 (see ops/pallas/stem_fuse.py)
+            h, w, c = x.shape[2:]
+            alpha = _PReLUAlpha(64, name="frontend_prelu")()
+            x = _FusedStemTail(64, name="frontend_bn")(
+                x.reshape(b * t, h, w, c), alpha, train
+            )
+        else:
+            x = _batch_norm(train, "frontend_bn")(x)
+            x = _relu_factory(self.relu_type, 64)(x)
+            # MaxPool3D k=(1,3,3) s=(1,2,2) p=(0,1,1): time dim untouched.
+            x = nn.max_pool(
+                x,
+                window_shape=(1, 3, 3),
+                strides=(1, 2, 2),
+                padding=((0, 0), (1, 1), (1, 1)),
+            )
+            h, w, c = x.shape[2:]
+            x = x.reshape(b * t, h, w, c)
         feats = ResNetTrunk(relu_type=self.relu_type, name="trunk")(x, train=train)
         return feats.reshape(b, t, -1)
