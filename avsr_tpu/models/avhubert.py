@@ -26,6 +26,7 @@ from jax.ad_checkpoint import checkpoint_name
 
 from avsr_tpu.core.config import AVHubertEncoderConfig
 from avsr_tpu.models.resnet import ResEncoder
+from avsr_tpu.ops.grouped_conv import grouped_conv
 
 NEG_INF = jnp.finfo(jnp.float32).min
 
@@ -51,15 +52,16 @@ class ConvPositionalEmbedding(nn.Module):
         # weight_norm(dim=2): normalize v over (O, I/g) per kernel position.
         norm = jnp.sqrt(jnp.sum(w_v.astype(jnp.float32) ** 2, axis=(0, 1), keepdims=True))
         w = (w_g * w_v / jnp.maximum(norm, 1e-12)).astype(x.dtype)
-        # (O, I/g, K) -> conv kernel (K, I/g, O) for NWC conv
+        # (O, I/g, K) -> conv kernel (K, I/g, O) for NWC conv; routed through
+        # grouped_conv for layout-independent kernel grads under TP meshes
+        # (GSPMD grouped-conv grad bug — see ops/grouped_conv.py)
         kernel = jnp.transpose(w, (2, 1, 0))
-        y = jax.lax.conv_general_dilated(
+        y = grouped_conv(
             x,
             kernel,
-            window_strides=(1,),
+            groups=self.groups,
+            strides=(1,),
             padding=[(k // 2, k // 2)],
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            feature_group_count=self.groups,
         )
         y = y + bias.astype(x.dtype)
         if k % 2 == 0:  # SamePadLayer: drop the trailing column

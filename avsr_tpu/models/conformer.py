@@ -28,6 +28,7 @@ from flax import linen as nn
 from avsr_tpu.models.decoder import LN_EPS, TransformerDecoder
 from avsr_tpu.models.resnet import PReLU, ResNetTrunk, StemConv3D, _batch_norm, _relu_factory
 from avsr_tpu.ops.ctc import ctc_loss, label_smoothing_loss, th_accuracy
+from avsr_tpu.ops.grouped_conv import GroupedConv
 from avsr_tpu.ops.masks import add_sos_eos, make_non_pad_mask, target_mask
 
 NEG_INF = jnp.finfo(jnp.float32).min
@@ -101,7 +102,9 @@ class ConvolutionModule(nn.Module):
     def __call__(self, x, train: bool = False):
         h = nn.Conv(2 * self.dim, (1,), name="pointwise_conv1")(x)
         h = jax.nn.glu(h, axis=-1)
-        h = nn.Conv(
+        # GroupedConv: same params as nn.Conv, TP-safe kernel grads
+        # (GSPMD grouped-conv grad bug — see ops/grouped_conv.py)
+        h = GroupedConv(
             self.dim,
             (self.kernel,),
             padding=[(self.kernel // 2, self.kernel // 2)],

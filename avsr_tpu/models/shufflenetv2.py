@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from avsr_tpu.ops.grouped_conv import GroupedConv
+
 STAGE_REPEATS = (4, 8, 4)
 STAGE_CHANNELS = {
     0.5: (24, 48, 96, 192, 1024),
@@ -46,9 +48,10 @@ class InvertedResidual(nn.Module):
         def branch2(inp, name):
             h = nn.Conv(half, (1, 1), use_bias=False, name=f"{name}_pw1")(inp)
             h = jax.nn.relu(_bn(f"{name}_bn1")(h))
-            h = nn.Conv(half, (3, 3), strides=(self.stride, self.stride),
-                        padding=1, feature_group_count=half, use_bias=False,
-                        name=f"{name}_dw")(h)
+            # TP-safe grads (GSPMD grouped-conv bug, ops/grouped_conv.py)
+            h = GroupedConv(half, (3, 3), strides=(self.stride, self.stride),
+                            padding=1, feature_group_count=half,
+                            use_bias=False, name=f"{name}_dw")(h)
             h = _bn(f"{name}_bn2")(h)
             h = nn.Conv(half, (1, 1), use_bias=False, name=f"{name}_pw2")(h)
             return jax.nn.relu(_bn(f"{name}_bn3")(h))
@@ -59,9 +62,9 @@ class InvertedResidual(nn.Module):
             out = jnp.concatenate([x1, branch2(x2, "b2")], axis=-1)
         else:
             inp_c = x.shape[-1]
-            h1 = nn.Conv(inp_c, (3, 3), strides=(self.stride, self.stride),
-                         padding=1, feature_group_count=inp_c, use_bias=False,
-                         name="b1_dw")(x)
+            h1 = GroupedConv(inp_c, (3, 3), strides=(self.stride, self.stride),
+                             padding=1, feature_group_count=inp_c,
+                             use_bias=False, name="b1_dw")(x)
             h1 = _bn("b1_bn1")(h1)
             h1 = nn.Conv(half, (1, 1), use_bias=False, name="b1_pw")(h1)
             h1 = jax.nn.relu(_bn("b1_bn2")(h1))

@@ -14,6 +14,13 @@ decoder.py:153-183 forward_one_step) and this repo's earlier split
 attention kernel (ops/pallas/decode_attention.py, kept for the non-fused
 path and tests).
 
+SELFCHECK-EXEMPT: opt-in path (cfg.decode_fused_layer, default OFF — lost
+the round-3 device A/B to the split kernels, 816 vs 502 ms/batch at B=16);
+no config the driver benches can reach it. Token-exact parity covered by
+test_beam_parity.py when enabled. If this ever defaults on, it must gain a
+selfcheck entry at serving shapes first (see tests/test_robustness.py
+kernel-coverage guard).
+
 Structure: ONE grid program per layer step. A first version used
 grid=(B/G,) with grid-invariant weight BlockSpecs, but the pipeline
 re-fetched the ~24 MB of layer weights for every grid program (device

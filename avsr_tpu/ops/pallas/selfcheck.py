@@ -13,7 +13,86 @@ persistent compilation cache).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+
+
+def check_stem_fuse(train: bool) -> None:
+    """Compile + numerics check of the fused stem tail at REAL block shapes.
+
+    The round-4 bench crash (BENCH_r04.json rc=1) was a scoped-vmem OOM that
+    only appears at the production block shape (nb=8, 44, 44, 64) — toy-shape
+    interpret tests cannot catch it. VMEM stack allocation depends on the
+    per-program block, not on N (N only sets the grid length), so a small-N
+    run with the same H/W/C and the same nb reproduces the compile behavior
+    of the full B=32*T=377 serving batch exactly. nb here: _pick_nb picks 8
+    for any N divisible by 8, as it does at N=12064 (serving) and N=9216
+    (train), so N=64 exercises the identical kernel binary.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from avsr_tpu.ops.pallas import stem_fuse
+
+    on_accel = jax.default_backend() != "cpu"
+    rng = np.random.RandomState(3)
+    n, h, w, c = 64, 44, 44, 64  # serving/train block shape (nb=8 path)
+    x = jnp.asarray(rng.randn(n, h, w, c).astype(np.float32) * 0.5)
+    s = jnp.asarray(1.0 + 0.1 * rng.randn(c).astype(np.float32))
+    b = jnp.asarray(0.1 * rng.randn(c).astype(np.float32))
+    a = jnp.full((c,), 0.25, jnp.float32)
+
+    if not train:
+        # serving path: eval-mode _apply with running stats, bf16 activations
+        rm = jnp.asarray(0.1 * rng.randn(c).astype(np.float32))
+        rv = jnp.asarray(0.5 + np.abs(rng.randn(c)).astype(np.float32))
+        xb = x.astype(jnp.bfloat16)
+        got = jax.jit(
+            lambda v: stem_fuse.bn_prelu_pool(
+                v, s, b, a, train=False, running_mean=rm, running_var=rv,
+                interpret=not on_accel,
+            )
+        )(xb)
+        want = stem_fuse.reference(
+            xb, s, b, a, train=False, running_mean=rm, running_var=rv
+        )
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
+        return
+
+    # train path: fwd + all four grads at the train block shape
+    wgt = jnp.asarray(rng.randn(n, h // 2, w // 2, c).astype(np.float32))
+
+    def loss(fn, x, s, b, a):
+        out, _m, _v = fn(x, s, b, a, train=True)
+        return jnp.vdot(out.astype(jnp.float32), wgt)
+
+    got = jax.jit(
+        jax.value_and_grad(
+            lambda *p: loss(
+                functools.partial(
+                    stem_fuse.bn_prelu_pool, interpret=not on_accel
+                ),
+                *p,
+            ),
+            argnums=(0, 1, 2, 3),
+        )
+    )(x, s, b, a)
+    want = jax.jit(
+        jax.value_and_grad(
+            lambda *p: loss(stem_fuse.reference, *p), argnums=(0, 1, 2, 3)
+        )
+    )(x, s, b, a)
+    np.testing.assert_allclose(got[0], want[0], rtol=1e-3)
+    for name, g_got, g_want in zip("x,scale,bias,alpha".split(","),
+                                   got[1], want[1]):
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_want), rtol=2e-2, atol=2e-3,
+            err_msg=f"stem_fuse d{name}",
+        )
 
 
 def check_serving_kernels() -> None:
@@ -21,6 +100,9 @@ def check_serving_kernels() -> None:
     import jax.numpy as jnp
 
     on_accel = jax.default_backend() != "cpu"
+
+    # --- fused stem tail (serving eval path; default-on in models/resnet) ---
+    check_stem_fuse(train=False)
 
     # --- topk_lastdim ---
     from avsr_tpu.ops.pallas.topk import topk_lastdim
@@ -35,6 +117,16 @@ def check_serving_kernels() -> None:
     v_t, i_t = jax.jit(lambda a: topk_lastdim(a, 3, interpret=not on_accel))(xf)
     v_i, i_i = topk_lastdim(np.asarray(xf), 3, interpret=True)
     np.testing.assert_array_equal(np.asarray(i_t), np.asarray(i_i))
+
+    # --- cumlogsumexp (CTC prefix scans inside the beam loop) ---
+    from avsr_tpu.ops.pallas.scan_logsumexp import cumlogsumexp
+
+    xs = jnp.asarray((rng.randn(375, 96) * 4.0).astype(np.float32))
+    got_ls = jax.jit(lambda a: cumlogsumexp(a, interpret=not on_accel))(xs)
+    want_ls = cumlogsumexp(np.asarray(xs), interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got_ls), np.asarray(want_ls), rtol=1e-5, atol=1e-5
+    )
 
     # --- row_gather (n > _RING exercises the bounded semaphore ring) ---
     from avsr_tpu.ops.pallas.row_gather import _RING, row_gather
@@ -180,6 +272,9 @@ def check_train_kernels() -> None:
 
     if jax.default_backend() == "cpu":
         return  # nothing to check: CPU uses the materialized-mask path
+
+    # --- fused stem tail (train fwd + bwd; default-on in models/resnet) ---
+    check_stem_fuse(train=True)
 
     rng = np.random.RandomState(7)
     rate = 0.3

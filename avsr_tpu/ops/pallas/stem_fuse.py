@@ -40,8 +40,16 @@ try:
     from jax.experimental.pallas import tpu as _pltpu
 
     _BWD_PARAMS = _pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    # The forward kernels need a raised scoped-vmem cap too: Mosaic's stack
+    # allocator gives each pool/normalize intermediate its own slot, and at
+    # the serving shape (N=12064, 44x44x64, nb=8) the _apply body measures
+    # 19.01 MB against the 18.44 MB default — the exact compile failure
+    # recorded in BENCH_r04.json (rc=1). 64 MB leaves headroom without
+    # approaching the 128 MB physical VMEM.
+    _FWD_PARAMS = _pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 except Exception:  # pragma: no cover - CPU-only environments
     _BWD_PARAMS = None
+    _FWD_PARAMS = None
 
 
 def _resolve_interpret(interpret):
@@ -249,6 +257,7 @@ def _batch_stats(x, interpret):
     nb = _pick_nb(n, 8)
     sums = pl.pallas_call(
         _stats_kernel,
+        compiler_params=_FWD_PARAMS,
         grid=(n // nb,),
         in_specs=[pl.BlockSpec((nb, h, w, c), lambda i: (i, 0, 0, 0))],
         out_specs=pl.BlockSpec((8, c), lambda i: (0, 0)),
@@ -266,6 +275,7 @@ def _apply(x, p, interpret):
     nb = _pick_nb(n, 8)
     return pl.pallas_call(
         _apply_kernel,
+        compiler_params=_FWD_PARAMS,
         grid=(n // nb,),
         in_specs=[
             pl.BlockSpec((nb, h, w, c), lambda i: (i, 0, 0, 0)),
@@ -286,12 +296,18 @@ def _train_fwd(x, scale, bias, alpha, eps, interpret):
     rstd = jax.lax.rsqrt(var + eps)
     p = _pack(mean, rstd, scale, bias, alpha, c=c)
     out = _apply(x, p, interpret)
-    return (out, mean, var), (x, p)
+    # param dtypes ride in the residuals (as zero-size carriers — dtypes
+    # themselves are not JAX types) so _train_bwd can return cotangents
+    # matching the primal avals (the trainer casts params to bf16 before
+    # apply; custom_vjp requires bwd dtypes == primal dtypes)
+    dts = tuple(jnp.zeros((0,), v.dtype) for v in (scale, bias, alpha))
+    return (out, mean, var), (x, p, dts)
 
 
 def _train_bwd(eps, interpret, res, cts):
     interpret = _resolve_interpret(interpret)
-    x, p = res
+    x, p, dts = res
+    dt_scale, dt_bias, dt_alpha = (v.dtype for v in dts)
     g = cts[0]  # cotangents of (mean, var) outputs are ignored: the stats
     # feed only the running-average side channel, which callers stop-grad
     n, h, w, c = x.shape
@@ -337,9 +353,9 @@ def _train_bwd(eps, interpret, res, cts):
     )(x, p2, dz)
     return (
         dx,
-        dgamma.astype(jnp.float32),
-        dbeta.astype(jnp.float32),
-        dalpha.astype(jnp.float32),
+        dgamma.astype(dt_scale),
+        dbeta.astype(dt_bias),
+        dalpha.astype(dt_alpha),
     )
 
 

@@ -371,6 +371,8 @@ def make_parallel_train_step(model, tx, mesh, compute_dtype: str = "float32",
                              state_shardings=None, rng_impl: str = "rbg"):
     """Jit the train step sharded over `mesh` (DP batch axis; TP parameter
     axis when state_shardings carry 'model'-sharded kernels)."""
+    from avsr_tpu.ops.grouped_conv import tp_safe_mesh
+
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(DATA_AXIS))
     st_sh = state_shardings if state_shardings is not None else repl
@@ -382,8 +384,14 @@ def make_parallel_train_step(model, tx, mesh, compute_dtype: str = "float32",
         donate_argnums=(0,),
     )
     def step(state, batch, rng):
-        return train_step(model, tx, state, batch, rng, compute_dtype,
-                          rng_impl=rng_impl)
+        # GSPMD over-reduces grouped-conv kernel grads on meshes with a
+        # model axis (even for replicated weights). The context manager is
+        # active exactly while THIS step traces (the body runs at trace
+        # time), so grouped convs inside take the shard_map path on TP
+        # meshes and no other trace is affected — see ops/grouped_conv.py.
+        with tp_safe_mesh(mesh):
+            return train_step(model, tx, state, batch, rng, compute_dtype,
+                              rng_impl=rng_impl)
 
     return step
 
@@ -391,6 +399,8 @@ def make_parallel_train_step(model, tx, mesh, compute_dtype: str = "float32",
 def make_parallel_accum_train_step(model, tx, mesh, compute_dtype: str = "float32",
                                    state_shardings=None, rng_impl: str = "rbg"):
     """Same, but batches carry a leading micro-batch (accum) dimension."""
+    from avsr_tpu.ops.grouped_conv import tp_safe_mesh
+
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(None, DATA_AXIS))
     st_sh = state_shardings if state_shardings is not None else repl
@@ -402,8 +412,9 @@ def make_parallel_accum_train_step(model, tx, mesh, compute_dtype: str = "float3
         donate_argnums=(0,),
     )
     def step(state, batch, rng):
-        return train_step(model, tx, state, batch, rng, compute_dtype,
-                          rng_impl=rng_impl)
+        with tp_safe_mesh(mesh):  # see make_parallel_train_step
+            return train_step(model, tx, state, batch, rng, compute_dtype,
+                              rng_impl=rng_impl)
 
     return step
 

@@ -167,8 +167,13 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - device-specific
         print(f"# full config failed ({type(e).__name__}); "
               "retrying with round-2 serving config", flush=True)
+        # round-2 config = every later-generation kernel off, including the
+        # round-4 fused stem whose compile failure took BENCH_r04 to rc=1
+        # (the old fallback left it on and re-crashed). A compile failure of
+        # ANY kernel in the first batch must land here, not at rc=1.
         os.environ["AVSR_DECODE_FUSED_KV_WRITE"] = "0"
         os.environ["AVSR_TOPK_KERNEL"] = "0"
+        os.environ["AVSR_FUSED_STEM"] = "0"
         rec = Recognizer(
             model=model, variables=variables, cfg=cfg,
             t_buckets=(FRAMES + 2,), max_decode_tokens=192,

@@ -24,16 +24,7 @@ import os
 import sys
 
 
-def real_model_step(mesh, proc_id: int, nproc: int, out_dir: str) -> None:
-    """One AVSRModel train step, global batch 8 sharded over the mesh."""
-    import json
-
-    import numpy as np
-    import jax
-    import jax.numpy as jnp
-
-    from avsr_tpu.core.mesh import shard_batch
-    from avsr_tpu.train import trainer as T
+def _deterministic_tiny_cfg():
     from tests.test_train import tiny_cfg
 
     cfg = tiny_cfg()
@@ -47,31 +38,65 @@ def real_model_step(mesh, proc_id: int, nproc: int, out_dir: str) -> None:
     cfg.encoder.dropout_input = 0.0
     cfg.dropout_rate = 0.0
     cfg.transformer_attn_dropout_rate = 0.0
+    return cfg
+
+
+def _global_batch():
+    """The (deterministic) GLOBAL batch — identical on every process."""
+    import numpy as np
 
     rng = np.random.RandomState(0)
     b, t, l = 8, 6, 3
-    batch_global = {
+    return {
         "videos": rng.randn(b, t, 88, 88, 1).astype(np.float32),
         "audios": rng.randn(b, t, 104).astype(np.float32),
         "labels": rng.randint(1, 30, size=(b, l)).astype(np.int32),
         "video_lengths": np.full((b,), t, np.int32),
         "label_lengths": np.full((b,), l, np.int32),
     }
+
+
+def real_model_step(mesh, proc_id: int, nproc: int, out_dir: str,
+                    tag: str = "") -> None:
+    """One AVSRModel train step, global batch 8 sharded over `mesh`.
+
+    With a 'model' axis >1 this is the DPxTP step: Megatron-sharded kernels
+    (core/mesh.param_partition_spec), batch on the data axis. The batch is
+    assembled with make_array_from_callback from the full deterministic
+    global copy, which is correct for ANY mesh layout — including the
+    cross-host TP layout where one process's devices sit in different data
+    rows (there 'this host's share' is not a contiguous slice).
+    """
+    import json
+
+    import numpy as np
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from avsr_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
+    from avsr_tpu.train import trainer as T
+
+    cfg = _deterministic_tiny_cfg()
+    batch_global = _global_batch()
     example = {k: v[:1] for k, v in batch_global.items()}
     tcfg = T.TrainConfig(warmup_steps=1, max_steps=4, grad_accum=1)
     model, state = T.init_state(cfg, tcfg, jax.random.PRNGKey(0), example)
     tx = T.make_optimizer(tcfg)
+    tp = mesh.shape.get(MODEL_AXIS, 1) > 1
+    state_sh = T.train_state_shardings(state, mesh) if tp else None
     state = T.replicate_state(state, mesh)
-    step_fn = T.make_parallel_train_step(model, tx, mesh)
-    # each host feeds only its share of the global batch
-    share = b // nproc
-    lo = proc_id * share
-    local = {k: v[lo : lo + share] for k, v in batch_global.items()}
-    state, metrics = step_fn(state, shard_batch(local, mesh),
-                             jax.random.PRNGKey(5))
+    step_fn = T.make_parallel_train_step(model, tx, mesh,
+                                         state_shardings=state_sh)
+    data_sh = NamedSharding(mesh, P(DATA_AXIS))
+    batch = jax.tree.map(
+        lambda x: jax.make_array_from_callback(
+            x.shape, data_sh, lambda idx, x=x: x[idx]),
+        batch_global,
+    )
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(5))
     metrics = {k: float(jax.device_get(v)) for k, v in metrics.items()}
     assert np.isfinite(list(metrics.values())).all(), metrics
-    with open(os.path.join(out_dir, f"metrics_{proc_id}.json"), "w") as f:
+    with open(os.path.join(out_dir, f"metrics_{tag}{proc_id}.json"), "w") as f:
         json.dump(metrics, f)
 
 
@@ -177,6 +202,20 @@ def main() -> None:
 
     # ---- one real AVSRModel train step over the 2-process mesh ----
     real_model_step(mesh, proc_id, nproc, ckpt_dir)
+
+    # ---- DPxTP step with the TP axis CROSSING the process boundary ----
+    # mesh (data=2, model=2) arranged so each model group pairs one device
+    # from EACH process: the Megatron all-reduces of the TP sharding must
+    # ride the cross-host transport, not stay process-local. (The dryrun
+    # multichip artifact proves DPxTP single-process; this closes the
+    # cross-host half of the matrix.)
+    from jax.sharding import Mesh
+
+    from avsr_tpu.core.mesh import MODEL_AXIS
+
+    devs = np.asarray(jax.devices()).reshape(nproc, -1).T  # (local, nproc)
+    tp_mesh = Mesh(devs, (DATA_AXIS, MODEL_AXIS))
+    real_model_step(tp_mesh, proc_id, nproc, ckpt_dir, tag="tp_")
 
     jax.distributed.shutdown()
     print(f"worker {proc_id}: OK", flush=True)

@@ -23,7 +23,9 @@ def _free_port() -> int:
 
 
 def test_two_process_distributed(tmp_path):
-    # bounded by the communicate(timeout=240) below, not pytest-timeout
+    # bounded by the communicate(timeout=600) below, not pytest-timeout
+    # (each worker compiles the DP step AND the cross-host DPxTP step; ~5min
+    # total for two single-core processes on the 1-core CI host)
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
     env = dict(os.environ)
@@ -45,7 +47,7 @@ def test_two_process_distributed(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=600)
             outs.append(out)
     finally:
         for p in procs:
@@ -66,15 +68,20 @@ def test_two_process_distributed(tmp_path):
     ref = subprocess.run(
         [sys.executable, worker, "0", "1", "0", str(ref_dir)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        timeout=240,
+        timeout=420,
     )
     assert ref.returncode == 0, f"reference run failed:\n{ref.stdout}"
     with open(ref_dir / "metrics_0.json") as f:
         expected = json.load(f)
     for i in range(2):
-        with open(tmp_path / "ck" / f"metrics_{i}.json") as f:
-            got = json.load(f)
-        for key in ("loss", "loss_ctc", "loss_att", "grad_norm"):
-            assert abs(got[key] - expected[key]) <= 1e-4 * max(
-                1.0, abs(expected[key])
-            ), (i, key, got[key], expected[key])
+        # DP mesh (data=4) and cross-host DPxTP mesh (data=2, model=2 with
+        # the model axis spanning the two processes) must both reproduce the
+        # single-process metrics — the TP file proves the cross-host
+        # all-reduce/all-gather paths of the Megatron sharding
+        for tag in ("", "tp_"):
+            with open(tmp_path / "ck" / f"metrics_{tag}{i}.json") as f:
+                got = json.load(f)
+            for key in ("loss", "loss_ctc", "loss_att", "grad_norm"):
+                assert abs(got[key] - expected[key]) <= 1e-4 * max(
+                    1.0, abs(expected[key])
+                ), (i, tag, key, got[key], expected[key])

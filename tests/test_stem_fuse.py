@@ -190,3 +190,36 @@ def test_model_tree_unchanged():
     assert out.shape == (2, 4, 512)
     bn = upd["batch_stats"]["frontend_bn"]
     assert not np.allclose(np.asarray(bn["mean"]), 0.0)
+
+
+def test_bf16_param_grads_match_primal_dtypes():
+    # the trainer casts params to bf16 before apply (train/trainer.py); the
+    # custom_vjp bwd must return cotangents in the PRIMAL dtypes, not f32
+    # (ADVICE r4: jax 0.9.0 tolerates the mismatch, other versions hard-error)
+    x, scale, bias, alpha = _data()
+    sb = scale.astype(jnp.bfloat16)
+    bb = bias.astype(jnp.bfloat16)
+    ab = alpha.astype(jnp.bfloat16)
+
+    def loss(fn, x, s, b, a):
+        out, _, _ = fn(x, s, b, a, train=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    gk = jax.jit(jax.grad(
+        lambda *p: loss(
+            lambda *a, **k: bn_prelu_pool(*a, interpret=True, **k), *p
+        ),
+        argnums=(0, 1, 2, 3),
+    ))(x, sb, bb, ab)
+    assert gk[0].dtype == x.dtype
+    assert gk[1].dtype == jnp.bfloat16
+    assert gk[2].dtype == jnp.bfloat16
+    assert gk[3].dtype == jnp.bfloat16
+    gr = jax.jit(jax.grad(
+        lambda *p: loss(reference, *p), argnums=(0, 1, 2, 3)
+    ))(x, sb, bb, ab)
+    for got, want, name in zip(gk, gr, ["dx", "dscale", "dbias", "dalpha"]):
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=2e-2, rtol=2e-2, err_msg=name,
+        )

@@ -74,7 +74,7 @@ def main() -> None:
     with jax.profiler.trace(trace_dir):
         rec.transcribe_batch(feats_a, feats_v, mode="beam")
 
-    per_op, n_op, total = parse_trace(trace_dir, 1)
+    per_op, n_op, total, _ = parse_trace(trace_dir, 1)
     audio_s = b * t / 25.0
     # `total` double-counts: a while.N envelope event covers its body ops,
     # which also appear individually (xTRIP_COUNT). Top-level time = x1/x2
