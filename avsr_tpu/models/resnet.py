@@ -200,11 +200,22 @@ class _FusedStemTail(nn.Module):
             "batch_stats", "var",
             lambda: jnp.ones((self.features,), jnp.float32),
         )
+        # Round-5 device measurements (BASELINE.md "fused stem tail"): the
+        # kernel LOSES on both paths at flagship shapes, so it is opt-in.
+        # - serving: ~105 ms/batch slower than XLA's fused scale-shift+
+        #   PReLU+pool at B=32*T=377 (encoder 309 vs 205 ms/batch);
+        # - train: HBM OOM at B=24*T=384 — Mosaic forces row-major layouts
+        #   on the kernel's operands, and bf16[*,22,22,64] in {3,2,1,0}
+        #   pads the 64-lane minor dim to 128 (2.2x per buffer), which
+        #   propagates into the trunk's layer1 activations.
+        # The default path is lean_reference (f32 stats, activation-dtype
+        # compute) — the f32 `reference` twin OOMs at train shapes too.
+        on_env = "AVSR_FUSED_STEM" if train else "AVSR_FUSED_STEM_EVAL"
         use_kernel = (
             jax.default_backend() != "cpu"
-            and os.environ.get("AVSR_FUSED_STEM", "1") != "0"
+            and os.environ.get(on_env, "0") == "1"
         )
-        fn = stem_fuse.bn_prelu_pool if use_kernel else stem_fuse.reference
+        fn = stem_fuse.bn_prelu_pool if use_kernel else stem_fuse.lean_reference
         if train:
             out, bm, bv = fn(x, scale, bias, alpha, eps=self.eps, train=True)
             if not self.is_initializing():

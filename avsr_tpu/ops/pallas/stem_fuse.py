@@ -403,6 +403,53 @@ def bn_prelu_pool(
     return _apply(x, p, _resolve_interpret(interpret))
 
 
+def lean_reference(
+    x,
+    scale,
+    bias,
+    alpha,
+    *,
+    eps: float = 1e-5,
+    train: bool,
+    running_mean=None,
+    running_var=None,
+):
+    """Memory-lean jnp fallback: f32 statistics, activation-dtype compute.
+
+    `reference` below upcasts the whole activation to f32 — fine as a parity
+    oracle at test shapes, but at the flagship train shape (9216,44,44,64)
+    that materializes multi-GB f32 temporaries and OOMs HBM at B=24 (round-5
+    measurement; the pre-round-4 flax BatchNorm composition was bf16-native).
+    This twin keeps the reductions in f32 (fused by XLA into the reduce, no
+    f32 copy of x) and folds BN into one scale+shift in x.dtype — the same
+    arithmetic structure flax nn.BatchNorm(dtype=bf16) used.
+    """
+    if train:
+        xa = x.astype(jnp.float32)
+        mean = jnp.mean(xa, axis=(0, 1, 2))
+        var = jnp.mean(xa * xa, axis=(0, 1, 2)) - mean * mean
+    else:
+        mean = running_mean.astype(jnp.float32)
+        var = running_var.astype(jnp.float32)
+    rstd = jax.lax.rsqrt(var + eps)
+    w = (rstd * scale.astype(jnp.float32)).astype(x.dtype)
+    b = (bias.astype(jnp.float32) - mean * rstd * scale.astype(jnp.float32)
+         ).astype(x.dtype)
+    z = x * w + b
+    y = jnp.where(z >= 0, z, alpha.astype(x.dtype) * z)
+    pooled = jax.lax.reduce_window(
+        y,
+        -jnp.inf,
+        jax.lax.max,
+        (1, 3, 3, 1),
+        (1, 2, 2, 1),
+        ((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+    if train:
+        return pooled, mean, var
+    return pooled
+
+
 def reference(
     x,
     scale,
