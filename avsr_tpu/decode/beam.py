@@ -248,13 +248,15 @@ def beam_search_batched(
             ).reshape(-1)
             xs_rows = row_gather(logp_rows, flat_rows)  # (B*K*S', Tp)
             n_pre = cfg.pre_beam_size
+            # T-major (Tp, B, K, S'): every downstream tensor in the batched
+            # scorer is then 2D (Tp, B*K*S') — full-lane tiles instead of
+            # the vmapped form's (K, S') minor dims (12/1024 occupancy)
             xs = jnp.transpose(
-                xs_rows.reshape(b, k, n_pre, t_pad), (0, 3, 1, 2)
-            )  # (B, Tp, K, S')
-            psi_cand, psi_eos, r_cands = jax.vmap(
-                ctc_prefix.score_candidates_cols,
-                in_axes=(0, 0, 0, 0, 0, None, None),
-            )(xs, cum_b_all, xlens, st.ctc, part_ids, cfg.eos, cfg.blank)
+                xs_rows.reshape(b, k, n_pre, t_pad), (3, 0, 1, 2)
+            )
+            psi_cand, psi_eos, r_cands = ctc_prefix.score_candidates_cols_batched(
+                xs, cum_b_all, xlens, st.ctc, part_ids, cfg.eos, cfg.blank
+            )
             # blank is never selectable (psi LOG_ZERO already enforces this)
 
         def reorder_cache(cache, prev):

@@ -273,6 +273,104 @@ def select(
     )
 
 
+def score_candidates_cols_batched(
+    xs: jax.Array,  # (T, B, K, S) candidate log-probs, T-major
+    cum_b: jax.Array,  # (B, T)
+    xlens: jax.Array,  # (B,)
+    state: CTCPrefixState,  # leading B on every field; out_len (B,)
+    part_ids: jax.Array,  # (B, K, S)
+    eos: int,
+    blank: int = 0,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """All-utterance score_candidates_cols in T-major (T, N=B*K*S) layout.
+
+    The vmapped per-utterance form leaves (K, S) in the two minor dims,
+    which the TPU tiles to (8, 128): 12/1024 tile occupancy on every
+    elementwise op, layout-conversion copies between ops that disagree, and
+    a B-grid of 12-lane Kogge-Stone scans (profiled together at ~80 ms of a
+    519 ms B=16 decode batch, ~213 us/step). Here every materialized tensor
+    is 2D (T, N): lanes carry N (192 at B=16, 384 at B=32), sublanes carry
+    T, the tril-matmul cumsum contracts over all utterances at once, and
+    each scan is ONE pallas program. Math is identical to
+    score_candidates_cols (equality-tested in test_ctc_prefix.py).
+
+    Returns psi_cand (B, K, S), psi_eos (B, K), r_cands (B, K, S, T, 2).
+    """
+    t_max, b, k, s = xs.shape
+    n = b * k * s
+    nbk = b * k
+    xs2 = xs.reshape(t_max, n)
+
+    # (T, BK) forward probs of the current prefixes
+    r_prev = jnp.transpose(state.r.reshape(nbk, t_max, 2), (1, 2, 0))
+    r_bb = r_prev[:, 1]  # blank-terminated path
+    r_sum = jnp.logaddexp(r_prev[:, 0], r_bb)  # (T, BK)
+
+    def exp_s(x_tbk):  # (T, BK) -> (T, N): broadcast along the S slot axis
+        return jnp.broadcast_to(
+            x_tbk[:, :, None], (t_max, nbk, s)
+        ).reshape(t_max, n)
+
+    is_last = (part_ids == state.last[:, :, None]).reshape(1, n)
+    phi = jnp.where(is_last, exp_s(r_bb), exp_s(r_sum))  # (T, N)
+
+    start = jnp.maximum(state.out_len, 1)  # (B,)
+    start_n = jnp.repeat(start, k * s)  # (N,) b-major, matches xs2 order
+    out0_n = jnp.repeat(state.out_len == 0, k * s)
+    xlen_n = jnp.repeat(xlens, k * s)
+    tidx = jnp.arange(t_max)[:, None]  # (T, 1)
+
+    cum_x = _tri_cumsum(xs2)  # (T, N) one MXU contraction for the batch
+    cum_x_m1 = jnp.concatenate([jnp.zeros_like(cum_x[:1]), cum_x[:-1]], axis=0)
+    phi_m1 = jnp.concatenate([jnp.full_like(phi[:1], LOG_ZERO), phi[:-1]], axis=0)
+
+    ge_start = tidx >= start_n[None, :]  # (T, N)
+    init_here = (tidx == start_n[None, :] - 1) & out0_n[None, :]
+    u = jnp.where(
+        ge_start, phi_m1 - cum_x_m1, jnp.where(init_here, 0.0, -jnp.inf)
+    )
+    u = jnp.where(tidx < xlen_n[None, :], u, -jnp.inf)
+    r_n = cum_x + _cumlogsumexp(u, axis=0)
+    r_n = jnp.maximum(r_n, LOG_ZERO)
+
+    cum_b_n = jnp.broadcast_to(
+        cum_b.T[:, :, None], (t_max, b, k * s)
+    ).reshape(t_max, n)
+    cum_b_m1 = jnp.concatenate(
+        [jnp.zeros_like(cum_b_n[:1]), cum_b_n[:-1]], axis=0
+    )
+    r_n_m1 = jnp.concatenate(
+        [jnp.full_like(r_n[:1], LOG_ZERO), r_n[:-1]], axis=0
+    )
+    vterm = jnp.where(
+        ge_start & (tidx < xlen_n[None, :] + 1), r_n_m1 - cum_b_m1, -jnp.inf
+    )
+    r_b = cum_b_n + _cumlogsumexp(vterm, axis=0)
+    r_b = jnp.maximum(r_b, LOG_ZERO)
+
+    phi_x = phi_m1 + xs2
+    psi_terms = jnp.where(ge_start, phi_x, -jnp.inf)
+    init_term = jnp.where(
+        out0_n, xs2[0], jnp.full_like(xs2[0], LOG_ZERO)
+    )  # (N,)
+    log_psi_c = jnp.logaddexp(
+        jax.scipy.special.logsumexp(psi_terms, axis=0), init_term
+    ).reshape(b, k, s)
+
+    # eos scores the prefix-terminal probability r_sum[xlen-1] per (b, k):
+    # one-hot select + sum instead of a per-b dynamic gather
+    sel = tidx == (xlens - 1)[None, :]  # (T, B)
+    sel_bk = jnp.broadcast_to(sel[:, :, None], (t_max, b, k)).reshape(t_max, nbk)
+    psi_eos = jnp.sum(jnp.where(sel_bk, r_sum, 0.0), axis=0).reshape(b, k)
+
+    psi_cand = jnp.where(part_ids == eos, psi_eos[:, :, None], log_psi_c)
+    psi_cand = jnp.where(part_ids == blank, LOG_ZERO, psi_cand)
+
+    r_cands = jnp.stack([r_n, r_b], axis=-1).reshape(t_max, b, k, s, 2)
+    r_cands = jnp.transpose(r_cands, (1, 2, 3, 0, 4))  # (B, K, S, T, 2)
+    return psi_cand, psi_eos, r_cands
+
+
 def select_candidates(
     state: CTCPrefixState,
     psi_sel: jax.Array,  # (K',) absolute scores of the selections

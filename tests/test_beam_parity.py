@@ -636,3 +636,41 @@ def test_bf16_encode_token_stability(setup):
     assert len(outs["float32"]) == len(outs["bfloat16"]) == 2
     for y32, y16 in zip(outs["float32"], outs["bfloat16"]):
         np.testing.assert_array_equal(np.asarray(y32), np.asarray(y16))
+
+
+def test_batched_ctc_scorer_matches_vmapped():
+    """score_candidates_cols_batched (T-major, (T, B*K*S) tiles) must equal
+    the per-utterance vmapped form it replaces in the beam loop."""
+    rng = np.random.RandomState(7)
+    b, t, k, s, v = 3, 40, 3, 4, 25
+    xlens = jnp.asarray([40, 33, 17], jnp.int32)
+    logp = jnp.asarray(
+        np.log(rng.dirichlet(np.ones(v), size=(b, t))).astype(np.float32)
+    )
+    logp = jax.vmap(ctc_prefix.pad_log_probs, in_axes=(0, 0))(logp, xlens)
+    cum_b = jnp.cumsum(logp[:, :, 0], axis=1)
+    part_ids = jnp.asarray(rng.randint(1, v, size=(b, k, s)), jnp.int32)
+    state = ctc_prefix.CTCPrefixState(
+        r=jnp.asarray(
+            -np.abs(rng.randn(b, k, t, 2)).astype(np.float32) * 5.0
+        ),
+        s=jnp.asarray(rng.randn(b, k).astype(np.float32)),
+        last=jnp.asarray(rng.randint(1, v, size=(b, k)), jnp.int32),
+        out_len=jnp.asarray([0, 2, 5], jnp.int32),
+    )
+    xs_b = jnp.take_along_axis(
+        logp[:, :, None, None, :],
+        part_ids[:, None, :, :, None],
+        axis=-1,
+    )[..., 0]  # (B, T, K, S)
+    want = jax.vmap(
+        ctc_prefix.score_candidates_cols,
+        in_axes=(0, 0, 0, 0, 0, None, None),
+    )(xs_b, cum_b, xlens, state, part_ids, 2, 0)
+    got = ctc_prefix.score_candidates_cols_batched(
+        jnp.transpose(xs_b, (1, 0, 2, 3)), cum_b, xlens, state, part_ids, 2, 0
+    )
+    for name, g, w in zip(("psi_cand", "psi_eos", "r_cands"), got, want):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-5, err_msg=name
+        )

@@ -74,7 +74,7 @@ def main() -> None:
     with jax.profiler.trace(trace_dir):
         rec.transcribe_batch(feats_a, feats_v, mode="beam")
 
-    per_op, n_op, total, _ = parse_trace(trace_dir, 1)
+    per_op, n_op, total, op_args = parse_trace(trace_dir, 1)
     audio_s = b * t / 25.0
     # `total` double-counts: a while.N envelope event covers its body ops,
     # which also appear individually (xTRIP_COUNT). Top-level time = x1/x2
@@ -90,7 +90,10 @@ def main() -> None:
         print(f"  loop {n}: {d:.1f} ms")
     print(f"(raw event sum incl. loop bodies: {total:.1f} ms)")
     for name, dur in per_op.most_common(args.top):
-        print(f"  {dur:9.3f} ms  x{n_op[name]:<5d} {name}")
+        a = op_args.get(name) or {}
+        src = a.get("source_info") or ""
+        long = (a.get("long_name") or "")[:110]
+        print(f"  {dur:9.3f} ms  x{n_op[name]:<5d} {name}  {src} {long}")
 
 
 if __name__ == "__main__":
