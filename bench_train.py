@@ -36,6 +36,10 @@ def main() -> None:
     ap.add_argument("--frontend-remat", action="store_true")
     ap.add_argument("--no-flash", action="store_true")
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--pretrain", action="store_true",
+                    help="AV-HuBERT masked-prediction objective at the same "
+                         "shapes (mask gather + cosine-logit head instead of "
+                         "the CTC/CE decoder)")
     args = ap.parse_args()
 
     import jax
@@ -60,19 +64,41 @@ def main() -> None:
 
     b, t, l = args.batch, args.frames, args.labels
     rng = np.random.RandomState(0)
-    batch = {
-        "videos": rng.randn(b, t, 88, 88, 1).astype(np.float32),
-        "audios": rng.randn(b, t, 104).astype(np.float32),
-        "labels": np.tile(rng.randint(1, 5000, (1, l)), (b, 1)).astype(np.int32),
-        "video_lengths": np.full((b,), t, np.int32),
-        "label_lengths": np.full((b,), l, np.int32),
-    }
+    if args.pretrain:
+        from avsr_tpu.train.pretrain import (
+            AVHubertPretrainModel, PretrainConfig, sample_pretrain_masks,
+        )
+
+        pcfg = PretrainConfig()
+        am, _vm, vsrc = sample_pretrain_masks(pcfg, b, t, rng=rng)
+        batch = {
+            "videos": rng.randn(b, t, 88, 88, 1).astype(np.float32),
+            "audios": rng.randn(b, t, 104).astype(np.float32),
+            "audio_mask": am,
+            "video_src_index": vsrc,
+            "targets": rng.randint(
+                0, pcfg.num_classes, (b, t)
+            ).astype(np.int32),
+            "video_lengths": np.full((b,), t, np.int32),
+        }
+    else:
+        batch = {
+            "videos": rng.randn(b, t, 88, 88, 1).astype(np.float32),
+            "audios": rng.randn(b, t, 104).astype(np.float32),
+            "labels": np.tile(rng.randint(1, 5000, (1, l)), (b, 1)).astype(np.int32),
+            "video_lengths": np.full((b,), t, np.int32),
+            "label_lengths": np.full((b,), l, np.int32),
+        }
     if args.accum > 1:
         batch = {k: np.stack([v] * args.accum) for k, v in batch.items()}
 
     mesh = make_mesh()
     example = {k: v[0] for k, v in batch.items()} if args.accum > 1 else batch
-    model, state = T.init_state(cfg, tcfg, jax.random.PRNGKey(0), example)
+    pre_model = None
+    if args.pretrain:
+        pre_model = AVHubertPretrainModel(cfg.encoder, pcfg)
+    model, state = T.init_state(cfg, tcfg, jax.random.PRNGKey(0), example,
+                                model=pre_model)
     tx = T.make_optimizer(tcfg)
     st_sh = T.train_state_shardings(state, mesh)
     if args.accum > 1:
@@ -128,7 +154,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "train_step",
+                "metric": "pretrain_step" if args.pretrain else "train_step",
                 "sec_per_step": round(elapsed, 4),
                 "samples_per_sec_per_chip": round(samples_per_s / n_chips, 2),
                 "batch": b,
