@@ -16,6 +16,17 @@ def enable_compilation_cache(path: str | None = None) -> None:
     import jax
 
     path = path or os.environ.get("AVSR_JAX_CACHE", DEFAULT_CACHE_DIR)
+    if path in ("off", "0", "none"):
+        # AVSR_JAX_CACHE=off: leave the persistent cache disabled. The CPU
+        # test suite sets this (tests/conftest.py): the cache's executable
+        # serialization has twice segfaulted the suite mid-write
+        # (compilation_cache.put_executable_and_time, jax 0.9.0), and CPU
+        # compiles gain little from persistence anyway.
+        try:
+            jax.config.update("jax_enable_compilation_cache", False)
+        except Exception:
+            pass
+        return
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
     try:
